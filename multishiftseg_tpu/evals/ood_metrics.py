@@ -1,0 +1,160 @@
+"""Pixel-level OOD detection metrics: AUROC, AUPRC (average precision), FPR@95TPR.
+
+Exact numpy implementations (drop-in for the reference's sklearn-based
+``lib/utils/metric.py:69-181``) plus an on-device histogram-binned JAX variant for fast
+in-training validation, so the per-epoch metric pass does not round-trip tens of
+millions of pixels through host numpy.
+
+Conventions follow the reference: label 1 = OOD (positive), label 0 = in-distribution;
+higher score = more anomalous.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _threshold_counts(y_true: np.ndarray, y_score: np.ndarray):
+    """Cumulative tp/fp at each distinct descending score threshold."""
+    order = np.argsort(-y_score, kind="mergesort")
+    y = y_true[order].astype(np.float64)
+    s = y_score[order]
+    distinct = np.where(np.diff(s))[0]
+    idxs = np.r_[distinct, len(s) - 1]
+    tps = np.cumsum(y)[idxs]
+    fps = 1 + idxs - tps
+    return tps, fps, s[idxs]
+
+
+def auroc(y_true: np.ndarray, y_score: np.ndarray) -> float:
+    """Area under the ROC curve (trapezoid over distinct thresholds; ties handled as
+    sklearn ``roc_auc_score``)."""
+    tps, fps, _ = _threshold_counts(y_true, y_score)
+    tps = np.r_[0.0, tps]
+    fps = np.r_[0.0, fps]
+    if tps[-1] == 0 or fps[-1] == 0:
+        return float("nan")
+    tpr = tps / tps[-1]
+    fpr = fps / fps[-1]
+    return float(np.trapezoid(tpr, fpr))
+
+
+def average_precision(y_true: np.ndarray, y_score: np.ndarray) -> float:
+    """AP = sum_n (R_n - R_{n-1}) P_n over descending thresholds (sklearn
+    ``average_precision_score`` semantics)."""
+    tps, fps, _ = _threshold_counts(y_true, y_score)
+    if tps[-1] == 0:
+        return float("nan")
+    precision = tps / (tps + fps)
+    recall = tps / tps[-1]
+    recall_prev = np.r_[0.0, recall[:-1]]
+    return float(np.sum((recall - recall_prev) * precision))
+
+
+def fpr_at_recall(
+    y_true: np.ndarray, y_score: np.ndarray, recall_level: float = 0.95
+) -> float:
+    """FPR at the threshold whose TPR is closest to ``recall_level``.
+
+    Reproduces the cutoff-selection of the reference's ``fpr_and_fdr_at_recall``
+    (``lib/utils/metric.py:87-127``): walk thresholds from the first one achieving full
+    recall back to the most confident, append the (recall=1, fps=0) endpoint, and pick
+    argmin |recall - level|.
+    """
+    tps, fps, _ = _threshold_counts(y_true, y_score)
+    if tps[-1] == 0:
+        return float("nan")
+    recall = tps / tps[-1]
+    last_ind = int(np.searchsorted(tps, tps[-1]))
+    sl = slice(last_ind, None, -1)
+    recall_r = np.r_[recall[sl], 1.0]
+    fps_r = np.r_[fps[sl], 0.0]
+    cutoff = int(np.argmin(np.abs(recall_r - recall_level)))
+    n_neg = float(np.sum(y_true == 0))
+    return float(fps_r[cutoff] / n_neg)
+
+
+def eval_ood_measure(
+    conf: np.ndarray,
+    seg_label: np.ndarray,
+    train_id_in: int = 0,
+    train_id_out: int = 1,
+    recall_level: float = 0.95,
+) -> Optional[Tuple[float, float, float]]:
+    """(AUROC, AUPRC, FPR@95) over pixels labelled in/out; None if either set is empty.
+
+    Signature-compatible with the reference ``eval_ood_measure``
+    (``lib/utils/metric.py:170-181``). Pixels with other labels (e.g. 255 void) are
+    excluded.
+    """
+    conf = np.asarray(conf).reshape(-1)
+    seg_label = np.asarray(seg_label).reshape(-1)
+    mask = (seg_label == train_id_in) | (seg_label == train_id_out)
+    if not mask.any():
+        return None
+    scores = conf[mask].astype(np.float64)
+    labels = (seg_label[mask] == train_id_out).astype(np.int64)
+    if labels.sum() == 0 or labels.sum() == labels.size:
+        return None
+    return (
+        auroc(labels, scores),
+        average_precision(labels, scores),
+        fpr_at_recall(labels, scores, recall_level),
+    )
+
+
+# ---------------------------------------------------------------------------
+# On-device binned metrics (approximate; error ~ O(1/num_bins) of the score range).
+# ---------------------------------------------------------------------------
+
+
+def binned_ood_metrics(
+    scores: jax.Array,
+    labels: jax.Array,
+    num_bins: int = 8192,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+    recall_level: float = 0.95,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Histogram-binned (AUROC, AUPRC, FPR@recall) computed entirely on device.
+
+    Args:
+      scores: [...] anomaly scores (higher = more anomalous).
+      labels: [...] int labels; 1 = OOD, 0 = in-distribution, others ignored.
+    """
+    scores = scores.reshape(-1).astype(jnp.float32)
+    labels = labels.reshape(-1)
+    valid = (labels == 0) | (labels == 1)
+    pos = (labels == 1) & valid
+    neg = (labels == 0) & valid
+    lo_v = jnp.where(valid, scores, jnp.inf).min() if lo is None else jnp.float32(lo)
+    hi_v = jnp.where(valid, scores, -jnp.inf).max() if hi is None else jnp.float32(hi)
+    span = jnp.maximum(hi_v - lo_v, 1e-12)
+    bins = jnp.clip(
+        ((scores - lo_v) / span * num_bins).astype(jnp.int32), 0, num_bins - 1
+    )
+    pos_hist = jnp.zeros(num_bins, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    neg_hist = jnp.zeros_like(pos_hist)
+    pos_hist = pos_hist.at[bins].add(pos.astype(pos_hist.dtype))
+    neg_hist = neg_hist.at[bins].add(neg.astype(neg_hist.dtype))
+    # Descending-threshold cumulative counts (high score bin first).
+    tps = jnp.cumsum(pos_hist[::-1])
+    fps = jnp.cumsum(neg_hist[::-1])
+    p_total = jnp.maximum(tps[-1], 1.0)
+    n_total = jnp.maximum(fps[-1], 1.0)
+    tpr = jnp.concatenate([jnp.zeros(1, tps.dtype), tps]) / p_total
+    fpr = jnp.concatenate([jnp.zeros(1, fps.dtype), fps]) / n_total
+    auroc_v = jnp.trapezoid(tpr, fpr)
+    precision = tps / jnp.maximum(tps + fps, 1.0)
+    recall = tps / p_total
+    recall_prev = jnp.concatenate([jnp.zeros(1, recall.dtype), recall[:-1]])
+    ap = jnp.sum((recall - recall_prev) * precision)
+    # FPR at first threshold reaching the recall level.
+    reach = recall >= recall_level
+    idx = jnp.argmax(reach)  # first True (0 if none; guarded below)
+    fpr95 = jnp.where(jnp.any(reach), fps[idx] / n_total, jnp.float32(1.0))
+    return auroc_v, ap, fpr95

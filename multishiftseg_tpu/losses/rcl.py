@@ -1,0 +1,189 @@
+"""Relative Contrastive Loss (RCL) — the paper's core anomaly-aware loss.
+
+A pure-functional, jit-stable re-design of the reference ``RelContrastiveLoss``
+(``lib/loss.py:6-156``). The batch convention is preserved: the leading axis is
+[clean half ‖ augmented half].
+
+Components (weights follow the experiment YAMLs):
+  (a) CE on the clean half x ``ce_weights[0]``;
+  (b) CE on the augmented half x ``ce_weights[1]``, optionally restricted to the
+      easiest ``selection_ratio`` fraction of in-distribution pixels (per-pixel CE
+      bottom-k, on detached values);
+  (c) three relative-contrastive terms over anomaly scores with margins
+      ``[m_orig, m_aug, m_in]``:
+        relu(s_clean + m0 - s_ood), relu(s_aug + m1 - s_ood) over random pixel pairs,
+        and relu(s_aug - s_clean - m2) on pixels in-distribution in both views.
+
+TPU-native deviations from the reference (expectation-preserving, all shapes static):
+  * the dynamic ``topk(select_num)`` over a variable pixel population becomes a sort +
+    cumulative-sum indexed at the traced count — same selected set, no dynamic shapes;
+  * ``randperm``-based pair sampling becomes Gumbel-top-k sampling of a fixed pool
+    (``num_pair_samples``) with the first ``min(populations, pool)`` pairs active via a
+    weight mask — uniform random pixel subsets, identical expectation;
+  * the reference's in-place relabelling of unselected pixels to 255
+    (``lib/loss.py:110-115``) has no downstream reader and is dropped.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class RCLParams:
+    """Mirrors the ``loss.params`` dict of the experiment YAMLs (``exps/DeepLab.yaml:27-34``)."""
+
+    ce_weights: Tuple[float, float] = (1.0, 1.0)
+    inoutaug_contras_margins_tri: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    contras_weight: float = 1.0
+    sample_ratio: float = 1.0
+    conduct_pixel_selection: bool = False
+    selection_ratio: float = 1.0
+    in_id: int = 99
+    void_id: int = 255
+    num_pair_samples: int = 65536  # static cap on contrastive pixel pairs
+
+
+def _masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
+    cnt = jnp.sum(mask)
+    return jnp.where(cnt > 0, jnp.sum(x * mask) / jnp.maximum(cnt, 1), 0.0)
+
+
+def _pixel_ce(logits: jax.Array, targets: jax.Array, valid: jax.Array) -> jax.Array:
+    """Per-pixel cross entropy; zero where invalid. logits [..., C], targets [...]."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    t = jnp.clip(targets, 0, logits.shape[-1] - 1)
+    nll = -jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
+    return nll * valid
+
+
+def _sample_masked(
+    key: jax.Array, values: jax.Array, mask: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Uniformly sample up to ``k`` distinct elements of ``values`` where ``mask``.
+
+    Returns (samples [k], count) where positions past the population size hold
+    arbitrary values — callers mask by position < count.
+    """
+    noise = jax.random.uniform(key, mask.shape)
+    scored = jnp.where(mask, noise, -1.0)
+    _, idx = jax.lax.top_k(scored, min(k, mask.size))
+    return values[idx], jnp.sum(mask)
+
+
+def rel_contrastive_loss(
+    logits: jax.Array,
+    anomaly_score: jax.Array,
+    targets: jax.Array,
+    rng: jax.Array,
+    params: RCLParams,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Compute the RCL loss.
+
+    Args:
+      logits: [B, H, W, C] classification logits; B = 2 * half (clean ‖ augmented).
+      anomaly_score: [B, H, W] per-pixel anomaly scores.
+      targets: [B, H, W] int labels; <99 in-distribution train ids, >99 (!=255) OOD,
+        255 void.
+      rng: PRNG key for the contrastive pixel sampling.
+    Returns:
+      (scalar loss, dict of components for logging).
+    """
+    p = params
+    b = logits.shape[0]
+    half = b // 2
+    targets = targets.astype(jnp.int32)
+
+    ood_mask = (targets > p.in_id) & (targets != p.void_id)
+    in_mask = targets < p.in_id
+
+    # ---- (a) CE on the clean half. torch NLLLoss(reduction='none').mean() averages the
+    # zeroed ignore positions too, i.e. divides by *all* pixels (lib/loss.py:59-60).
+    ce_map = _pixel_ce(logits, jnp.where(in_mask, targets, p.void_id), in_mask)
+    ce_original = jnp.mean(ce_map[:half])
+
+    # ---- (b) CE on the augmented half, with optional easiest-k pixel selection
+    # (lib/loss.py:90-117).
+    aug_ce = ce_map[half:].reshape(-1)
+    aug_in = in_mask[half:].reshape(-1)
+    if p.conduct_pixel_selection and 0.0 < p.selection_ratio < 1.0:
+        detached = jax.lax.stop_gradient(aug_ce)
+        keyed = jnp.where(aug_in, detached, jnp.inf)
+        order = jnp.argsort(keyed)  # ascending: easiest pixels first
+        sorted_ce = aug_ce[order]
+        total = jnp.sum(aug_in)
+        select_num = (p.selection_ratio * total).astype(jnp.int32)
+        csum = jnp.cumsum(jnp.where(jnp.isfinite(keyed[order]), sorted_ce, 0.0))
+        ce_aug = jnp.where(
+            select_num > 0,
+            csum[jnp.maximum(select_num - 1, 0)] / jnp.maximum(select_num, 1),
+            0.0,
+        )
+    else:
+        ce_aug = jnp.where(jnp.sum(aug_in) > 0, jnp.sum(aug_ce) / aug_ce.size, 0.0)
+
+    ce_loss = p.ce_weights[0] * ce_original + p.ce_weights[1] * ce_aug
+
+    # ---- (c) contrastive terms (lib/loss.py:119-156).
+    score = anomaly_score.astype(jnp.float32)
+    in_orig = in_mask.at[half:].set(False).reshape(-1)
+    in_aug = in_mask.at[:half].set(False).reshape(-1)
+    ood_flat = ood_mask.reshape(-1)
+    flat_score = score.reshape(-1)
+
+    k = min(p.num_pair_samples, flat_score.size)
+    k_orig, k_aug, k_ood = jax.random.split(rng, 3)
+    s_orig, n_orig = _sample_masked(k_orig, flat_score, in_orig, k)
+    s_aug, n_aug = _sample_masked(k_aug, flat_score, in_aug, k)
+    s_ood, n_ood = _sample_masked(k_ood, flat_score, ood_flat, k)
+
+    total_budget = jnp.asarray(int(p.sample_ratio * targets.size), jnp.int32)
+    n_pairs = jnp.minimum(
+        jnp.minimum(jnp.minimum(n_orig, n_aug), jnp.minimum(n_ood, k)), total_budget
+    )
+    pos = jnp.arange(k)
+    pair_w = (pos < n_pairs).astype(jnp.float32)
+
+    m0, m1, m2 = p.inoutaug_contras_margins_tri
+    contras_original = _masked_mean(jax.nn.relu(s_orig + m0 - s_ood), pair_w)
+    contras_aug = _masked_mean(jax.nn.relu(s_aug + m1 - s_ood), pair_w)
+
+    same_in = (in_mask[:half] & in_mask[half:]).astype(jnp.float32)
+    contras_in = _masked_mean(
+        jax.nn.relu(score[half:] - score[:half] - m2), same_in
+    )
+
+    contrastive = contras_original + contras_aug + contras_in
+    loss = ce_loss + p.contras_weight * contrastive
+    aux = {
+        "ce_original": ce_original,
+        "ce_aug": ce_aug,
+        "contras_original": contras_original,
+        "contras_aug": contras_aug,
+        "contras_in": contras_in,
+        "n_pairs": n_pairs.astype(jnp.float32),
+    }
+    return loss, aux
+
+
+def make_rcl_params(cfg_params: Optional[dict]) -> RCLParams:
+    """Build RCLParams from a reference-style ``loss.params`` dict."""
+    d = dict(cfg_params or {})
+    kw = {}
+    for name in (
+        "ce_weights",
+        "inoutaug_contras_margins_tri",
+        "contras_weight",
+        "sample_ratio",
+        "conduct_pixel_selection",
+        "selection_ratio",
+        "num_pair_samples",
+    ):
+        if name in d and d[name] is not None:
+            v = d[name]
+            kw[name] = tuple(v) if isinstance(v, list) else v
+    return RCLParams(**kw)

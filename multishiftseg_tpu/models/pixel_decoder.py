@@ -1,0 +1,136 @@
+"""MSDeformAttn pixel decoder: deformable-DETR encoder over res3-5 + FPN to stride 4.
+
+Behavioural port of the reference ``MSDeformAttnPixelDecoder``
+(``modeling/pixel_decoder/msdeformattn.py:23-359``): 1x1+GN input projections (low->high
+resolution order), 6 deformable encoder layers (8 heads, 4 points, ffn 1024), per-level
+learned embeddings, reference points at pixel centers, then one FPN lateral step fusing
+res2 down to the common stride 4 and a 1x1 ``mask_features`` head.
+
+All padding masks are absent in the entry-point models (``msdeformattn.py:62`` builds
+all-False masks), so valid ratios are identically 1 and are elided.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.ms_deform_attn import MSDeformAttn
+from ..ops.resize import resize_bilinear
+from .layers import Conv
+from .position_encoding import position_embedding_sine
+
+
+def _reference_points(spatial_shapes: Sequence[Tuple[int, int]]) -> np.ndarray:
+    """[S, 2] normalized (x, y) pixel-center positions, concatenated over levels
+    (reference ``get_reference_points``, ``msdeformattn.py:141-153`` with valid
+    ratios = 1)."""
+    pts = []
+    for h, w in spatial_shapes:
+        ys = (np.arange(h, dtype=np.float64) + 0.5) / h
+        xs = (np.arange(w, dtype=np.float64) + 0.5) / w
+        gy, gx = np.meshgrid(ys, xs, indexing="ij")
+        pts.append(np.stack([gx.reshape(-1), gy.reshape(-1)], -1))
+    return np.concatenate(pts, 0).astype(np.float32)
+
+
+class DeformableEncoderLayer(nn.Module):
+    d_model: int = 256
+    d_ffn: int = 1024
+    n_levels: int = 3
+    n_heads: int = 8
+    n_points: int = 4
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, src, pos, reference_points, spatial_shapes):
+        q = src + pos
+        attn_out = MSDeformAttn(
+            d_model=self.d_model, n_levels=self.n_levels, n_heads=self.n_heads,
+            n_points=self.n_points, dtype=self.dtype, name="self_attn",
+        )(q, reference_points, src, spatial_shapes)
+        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src + attn_out)
+        ffn = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(src)
+        ffn = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(nn.relu(ffn))
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src + ffn)
+
+
+class MSDeformAttnPixelDecoder(nn.Module):
+    conv_dim: int = 256
+    mask_dim: int = 256
+    transformer_enc_layers: int = 6
+    n_heads: int = 8
+    n_points: int = 4
+    transformer_in_features: Tuple[str, ...] = ("res3", "res4", "res5")
+    fpn_in_features: Tuple[str, ...] = ("res2",)  # features below the deformable levels
+    common_stride: int = 4
+    num_outputs: int = 3  # maskformer_num_feature_levels
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, features: Dict[str, jax.Array]):
+        """Returns (mask_features [N,H/4,W/4,mask_dim], encoder_top, multi_scale feats
+        [stride32, stride16, stride8])."""
+        L = len(self.transformer_in_features)
+        # low -> high resolution (res5, res4, res3), matching input_proj order
+        srcs, poss, shapes = [], [], []
+        for idx, name in enumerate(self.transformer_in_features[::-1]):
+            x = features[name]
+            x = Conv(self.conv_dim, (1, 1), use_bias=True, dtype=self.dtype,
+                     name=f"input_proj_{idx}")(x)
+            x = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                             name=f"input_proj_{idx}_gn")(x)
+            h, w = x.shape[1], x.shape[2]
+            shapes.append((h, w))
+            srcs.append(x.reshape(x.shape[0], h * w, self.conv_dim))
+            pe = position_embedding_sine(h, w, self.conv_dim).astype(x.dtype)
+            poss.append(jnp.broadcast_to(
+                pe.reshape(1, h * w, self.conv_dim),
+                (x.shape[0], h * w, self.conv_dim)))
+
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (L, self.conv_dim)
+        )
+        src = jnp.concatenate(srcs, axis=1)
+        pos = jnp.concatenate(
+            [p + level_embed[i].astype(p.dtype) for i, p in enumerate(poss)], axis=1
+        )
+        ref = jnp.asarray(_reference_points(shapes))  # [S, 2]
+        ref = jnp.broadcast_to(
+            ref[None, :, None, :], (src.shape[0], ref.shape[0], L, 2)
+        )
+
+        for i in range(self.transformer_enc_layers):
+            src = DeformableEncoderLayer(
+                d_model=self.conv_dim, n_levels=L, n_heads=self.n_heads,
+                n_points=self.n_points, dtype=self.dtype, name=f"encoder_layer_{i}",
+            )(src, pos, ref, shapes)
+
+        # split back to 2-D maps, low -> high resolution
+        outs: List[jax.Array] = []
+        start = 0
+        for (h, w) in shapes:
+            outs.append(src[:, start : start + h * w].reshape(-1, h, w, self.conv_dim))
+            start += h * w
+
+        # FPN step(s) down to the common stride
+        for idx, name in enumerate(self.fpn_in_features[::-1]):
+            x = features[name]
+            lateral = Conv(self.conv_dim, (1, 1), dtype=self.dtype,
+                           name=f"adapter_{idx + 1}")(x)
+            lateral = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                                   name=f"adapter_{idx + 1}_gn")(lateral)
+            up = resize_bilinear(outs[-1], (x.shape[1], x.shape[2]), align_corners=False)
+            y = lateral + up
+            y = Conv(self.conv_dim, (3, 3), dtype=self.dtype, name=f"layer_{idx + 1}")(y)
+            y = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                             name=f"layer_{idx + 1}_gn")(y)
+            outs.append(nn.relu(y))
+
+        mask_features = Conv(self.mask_dim, (1, 1), use_bias=True, dtype=self.dtype,
+                             name="mask_features")(outs[-1])
+        return mask_features, outs[0], outs[: self.num_outputs]

@@ -1,0 +1,101 @@
+"""detectron2-style ResNet backbone (R-50 default) exposing res2..res5.
+
+The shipped Mask2Anomaly model is ResNet-50-backboned (``anomaly_ft.yaml``:
+``build_resnet_backbone``, DEPTH 50, STRIDE_IN_1X1 False, FREEZE_AT 5 — the whole
+backbone is frozen during OOD fine-tuning, so BatchNorm here always runs in
+running-average mode, matching detectron2's FrozenBatchNorm under freezing).
+
+Layout NHWC; bottleneck strides live in the 3x3 conv (torchvision convention,
+STRIDE_IN_1X1=False).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import Conv
+
+
+class FrozenBN(nn.Module):
+    """BatchNorm that only ever applies running statistics (frozen backbone)."""
+
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.BatchNorm(
+            use_running_average=True, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn",
+        )(x)
+
+
+class BottleneckBlock(nn.Module):
+    bottleneck_channels: int
+    out_channels: int
+    stride: int = 1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        need_proj = x.shape[-1] != self.out_channels or self.stride != 1
+        shortcut = x
+        if need_proj:
+            shortcut = Conv(self.out_channels, (1, 1), strides=(self.stride,) * 2,
+                            dtype=self.dtype, name="shortcut")(x)
+            shortcut = FrozenBN(dtype=self.dtype, name="shortcut_norm")(shortcut)
+        out = Conv(self.bottleneck_channels, (1, 1), dtype=self.dtype, name="conv1")(x)
+        out = nn.relu(FrozenBN(dtype=self.dtype, name="norm1")(out))
+        out = Conv(self.bottleneck_channels, (3, 3), strides=(self.stride,) * 2,
+                   dtype=self.dtype, name="conv2")(out)
+        out = nn.relu(FrozenBN(dtype=self.dtype, name="norm2")(out))
+        out = Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv3")(out)
+        out = FrozenBN(dtype=self.dtype, name="norm3")(out)
+        return nn.relu(out + shortcut)
+
+
+RESNET_STAGES = {
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+}
+
+
+class ResNet(nn.Module):
+    """ResNet trunk returning {'res2': s4, 'res3': s8, 'res4': s16, 'res5': s32}."""
+
+    depth: int = 50
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jax.Array]:
+        x = x.astype(self.dtype or x.dtype)
+        x = Conv(64, (7, 7), strides=(2, 2), padding=3, dtype=self.dtype,
+                 name="stem_conv1")(x)
+        x = nn.relu(FrozenBN(dtype=self.dtype, name="stem_norm1")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        feats = {}
+        stages = RESNET_STAGES[self.depth]
+        bottleneck = 64
+        out_channels = 256
+        for stage_idx, num_blocks in enumerate(stages):
+            stride = 1 if stage_idx == 0 else 2
+            for block_idx in range(num_blocks):
+                x = BottleneckBlock(
+                    bottleneck_channels=bottleneck,
+                    out_channels=out_channels,
+                    stride=stride if block_idx == 0 else 1,
+                    dtype=self.dtype,
+                    name=f"res{stage_idx + 2}_{block_idx}",
+                )(x)
+            feats[f"res{stage_idx + 2}"] = x
+            bottleneck *= 2
+            out_channels *= 2
+        return feats
+
+
+RESNET_FEATURE_CHANNELS = {"res2": 256, "res3": 512, "res4": 1024, "res5": 2048}
+RESNET_FEATURE_STRIDES = {"res2": 4, "res3": 8, "res4": 16, "res5": 32}

@@ -1,0 +1,96 @@
+"""Bilinear / nearest resize as separable interpolation matmuls.
+
+The reference leans on ``torch.nn.functional.interpolate`` everywhere:
+``align_corners=True`` for the DeepLab upsample wrapper (``lib/network/deepv3/mynn.py:33``)
+and ``align_corners=False`` for all Mask2Former mask upsampling
+(``maskformer_model.py:264-277``, ``mask2former_transformer_decoder.py:533``).
+
+On TPU, a bilinear resize is expressed here as two dense matmuls with (out, in)
+interpolation matrices — separable, exact, and lands on the MXU instead of the
+gather/scatter units. The matrices are built host-side with numpy (shapes are static
+under jit) and closed over as constants.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=256)
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """Dense (out_size, in_size) bilinear interpolation matrix.
+
+    Matches torch ``F.interpolate(mode='bilinear')`` source-coordinate conventions:
+    align_corners=True  -> src = i * (in-1)/(out-1)
+    align_corners=False -> src = (i + 0.5) * in/out - 0.5, edge-clamped.
+    """
+    if in_size == out_size:
+        return np.eye(in_size, dtype=np.float32)
+    i = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        src = i * (in_size - 1) / max(out_size - 1, 1)
+    else:
+        src = (i + 0.5) * in_size / out_size - 0.5
+    src = np.clip(src, 0.0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w_hi = src - lo
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    rows = np.arange(out_size)
+    np.add.at(mat, (rows, lo), 1.0 - w_hi)
+    np.add.at(mat, (rows, hi), w_hi)
+    return mat.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=256)
+def _nearest_index(in_size: int, out_size: int) -> np.ndarray:
+    """Source index per output pixel, matching torch ``mode='nearest'``
+    (floor(i * in/out))."""
+    i = np.arange(out_size, dtype=np.float64)
+    return np.minimum(np.floor(i * in_size / out_size), in_size - 1).astype(np.int32)
+
+
+def resize_bilinear(
+    x: jax.Array, size: Tuple[int, int], align_corners: bool = False
+) -> jax.Array:
+    """Bilinear-resize the two trailing spatial axes of an NHWC array.
+
+    Args:
+      x: [..., H, W, C].
+      size: (H_out, W_out).
+      align_corners: torch semantics flag.
+    """
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    h_out, w_out = size
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    mh = jnp.asarray(_interp_matrix(h_in, h_out, align_corners))
+    mw = jnp.asarray(_interp_matrix(w_in, w_out, align_corners))
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    # Interpolation weights are near-1 and must not round through bf16 (the TPU default
+    # matmul precision); force full fp32 accumulation.
+    hp = jax.lax.Precision.HIGHEST
+    # [..., H_in, W_in, C] -> [..., H_out, W_in, C]
+    xf = jnp.einsum("oh,...hwc->...owc", mh, xf, precision=hp)
+    # -> [..., H_out, W_out, C]
+    xf = jnp.einsum("pw,...hwc->...hpc", mw, xf, precision=hp)
+    return xf.astype(dtype)
+
+
+def resize_nearest(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """Nearest-neighbour resize of the two trailing spatial axes of [..., H, W, C]."""
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    h_out, w_out = size
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    ih = jnp.asarray(_nearest_index(h_in, h_out))
+    iw = jnp.asarray(_nearest_index(w_in, w_out))
+    x = jnp.take(x, ih, axis=-3)
+    x = jnp.take(x, iw, axis=-2)
+    return x
