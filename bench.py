@@ -1,0 +1,88 @@
+"""Headline benchmark: Mask2Former (R-50, Mask2Anomaly heads) whole-image eval at
+1024x2048 — images/sec/chip on the attached TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline context: the reference publishes no throughput numbers (SURVEY.md §6). The
+north-star target is >= 2x an A100 running the reference PyTorch eval path at
+1024x2048; public Mask2Former R-50 semantic inference on A100-class GPUs runs ~5 FPS at
+this resolution (fp32 deformable encoder, per-image Python post-processing), so the
+target is 2 x 5 = 10 img/s/chip. ``vs_baseline`` = value / 10.0 (>= 1.0 means target
+met). Set BENCH_MODEL=deeplab for the DeepLab v3+ (WRN-38) eval benchmark instead.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import jax
+import jax.numpy as jnp
+
+H, W = 1024, 2048
+WARMUP = 2
+ITERS = 8
+TARGET_IMG_S = 10.0  # 2x estimated A100 reference throughput
+
+
+def bench_m2f():
+    from multishiftseg_tpu.models.maskformer import MaskFormer, inference
+
+    model = MaskFormer(num_classes=19, backbone="resnet50", dtype=jnp.bfloat16)
+    img = jnp.zeros((1, H, W, 3), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 128, 256, 3)), train=False
+    )
+
+    @jax.jit
+    def fwd(variables, img):
+        outputs = model.apply(variables, img, train=False)
+        sem, anomaly = inference(outputs, img.shape[1:3])
+        return anomaly
+
+    return "m2f_r50_eval_1024x2048", fwd, variables, img
+
+
+def bench_deeplab():
+    from multishiftseg_tpu.models.deeplab import DeepWV3Plus
+
+    model = DeepWV3Plus(num_classes=19, dtype=jnp.bfloat16)
+    img = jnp.zeros((1, H, W, 3), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 128, 256, 3)), train=False
+    )
+
+    @jax.jit
+    def fwd(variables, img):
+        score, logit = model.apply(variables, img, train=False)
+        return score
+
+    return "deeplab_wrn38_eval_1024x2048", fwd, variables, img
+
+
+def main():
+    which = os.environ.get("BENCH_MODEL", "m2f")
+    name, fwd, variables, img = bench_deeplab() if which == "deeplab" else bench_m2f()
+
+    for _ in range(WARMUP):
+        jax.block_until_ready(fwd(variables, img))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fwd(variables, img)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    img_per_s = ITERS * img.shape[0] / dt
+
+    print(json.dumps({
+        "metric": f"{name}_images_per_sec_per_chip",
+        "value": round(img_per_s, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s / TARGET_IMG_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

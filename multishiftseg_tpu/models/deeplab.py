@@ -70,9 +70,14 @@ class ASPP(nn.Module):
 
 
 class DeepWV3Plus(nn.Module):
-    """WideResNet-38 DeepLabV3+ with dual classification / OOD heads."""
+    """WideResNet-38 DeepLabV3+ with dual classification / OOD heads.
+
+    ``trunk_structure``/``trunk_channels`` default to WRN-38; overriding them yields a
+    tiny model through the same code path (used by sharding dry-runs)."""
 
     num_classes: int = 19
+    trunk_structure: Optional[tuple] = None
+    trunk_channels: Optional[tuple] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -80,7 +85,14 @@ class DeepWV3Plus(nn.Module):
         in_size = (x.shape[1], x.shape[2])
         x = x.astype(self.dtype or x.dtype)
 
-        m2, trunk_out = WiderResNetA2(dtype=self.dtype, name="trunk")(x, train=train)
+        trunk_kwargs = {}
+        if self.trunk_structure is not None:
+            trunk_kwargs["structure"] = self.trunk_structure
+        if self.trunk_channels is not None:
+            trunk_kwargs["channels"] = self.trunk_channels
+        m2, trunk_out = WiderResNetA2(
+            dtype=self.dtype, name="trunk", **trunk_kwargs
+        )(x, train=train)
 
         dec = ASPP(dtype=self.dtype, name="aspp")(trunk_out, train=train)
         dec0_up = Conv(256, (1, 1), dtype=self.dtype, name="bot_aspp")(dec)

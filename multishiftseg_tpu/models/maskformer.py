@@ -1,0 +1,129 @@
+"""MaskFormer meta-architecture (Mask2Anomaly variant) — backbone -> pixel decoder ->
+GMA transformer decoder, plus semantic / anomaly inference.
+
+Behavioural port of the reference ``MaskFormer`` (``maskformer_model.py:21-451``) and
+``TrainM2FOOD.get_anomaly_score`` (``train_m2f.py:387-407``), redesigned functionally:
+the module returns the raw prediction dict; inference helpers are pure functions so the
+upsample + einsum + max fuse into one XLA program. Image normalization and
+pad-to-divisibility (``ImageList.from_tensors``, size_divisibility 32) happen in
+``preprocess`` with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.resize import resize_bilinear
+from ..ops.scores import mask2former_anomaly_score, mask2former_semantic_logits
+from .pixel_decoder import MSDeformAttnPixelDecoder
+from .resnet import ResNet
+from .swin import SwinTransformer, SWIN_CONFIGS
+from .transformer_decoder import MultiScaleMaskedTransformerDecoderGMA
+
+PIXEL_MEAN = (123.675, 116.280, 103.530)
+PIXEL_STD = (58.395, 57.120, 57.375)
+SIZE_DIVISIBILITY = 32
+
+
+class MaskFormer(nn.Module):
+    """Returns the prediction dict of the GMA decoder on preprocessed images."""
+
+    num_classes: int = 19
+    backbone: str = "resnet50"  # resnet50 | resnet101 | swin_{tiny,small,base,large}
+    hidden_dim: int = 256
+    num_queries: int = 100
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    dec_layers: int = 9
+    mask_dim: int = 256
+    transformer_enc_layers: int = 6
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, images: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
+        """images: [N, H, W, 3], already normalized + padded to /32."""
+        if self.backbone.startswith("resnet"):
+            feats = ResNet(depth=int(self.backbone[6:]), dtype=self.dtype,
+                           name="backbone")(images)
+        elif self.backbone.startswith("swin"):
+            feats = SwinTransformer(
+                **SWIN_CONFIGS[self.backbone.split("_", 1)[1]], dtype=self.dtype,
+                name="backbone",
+            )(images, train=train)
+        else:
+            raise ValueError(f"unknown backbone {self.backbone}")
+
+        mask_features, _, multi_scale = MSDeformAttnPixelDecoder(
+            conv_dim=self.hidden_dim, mask_dim=self.mask_dim,
+            transformer_enc_layers=self.transformer_enc_layers,
+            dtype=self.dtype, name="pixel_decoder",
+        )(feats)
+
+        return MultiScaleMaskedTransformerDecoderGMA(
+            num_classes=self.num_classes, hidden_dim=self.hidden_dim,
+            num_queries=self.num_queries, nheads=self.nheads,
+            dim_feedforward=self.dim_feedforward, dec_layers=self.dec_layers,
+            mask_dim=self.mask_dim, dtype=self.dtype, name="predictor",
+        )(multi_scale, mask_features)
+
+
+def preprocess(
+    images_uint8: jax.Array,
+    pixel_mean: Tuple[float, ...] = PIXEL_MEAN,
+    pixel_std: Tuple[float, ...] = PIXEL_STD,
+) -> jax.Array:
+    """Normalize [N, H, W, 3] RGB (0-255) and pad bottom/right to /32
+    (``ImageList.from_tensors``, ``maskformer_model.py:231``)."""
+    x = (images_uint8.astype(jnp.float32) - jnp.asarray(pixel_mean)) / jnp.asarray(pixel_std)
+    h, w = x.shape[1], x.shape[2]
+    ph = (-h) % SIZE_DIVISIBILITY
+    pw = (-w) % SIZE_DIVISIBILITY
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    return x
+
+
+def semantic_inference(
+    class_logits: jax.Array,  # [N, Q, K+1]
+    mask_logits_up: jax.Array,  # [N, Q, H, W] upsampled to image size
+    num_classes: int = 19,
+) -> jax.Array:
+    """Mask2Anomaly semantic inference (``maskformer_model.py:341-354``): softmax x
+    sigmoid einsum, concatenated with high-confidence (score>0.95, 1<label<11)
+    per-query masks. Returns [N, K + Q, H, W] — channels past K are the zero-or-kept
+    extra masks (kept queries weighted by score, others zeroed), so downstream
+    ``logit[:, :19]`` slicing matches the reference."""
+    probs = jax.nn.softmax(class_logits.astype(jnp.float32), axis=-1)
+    sem = mask2former_semantic_logits(class_logits, mask_logits_up)  # [N, H, W, K]
+    scores = jnp.max(probs, axis=-1)  # [N, Q]
+    labels = jnp.argmax(probs, axis=-1)
+    keep = (labels != num_classes) & (scores > 0.95) & (labels < 11) & (labels > 1)
+    mask_probs = jax.nn.sigmoid(mask_logits_up.astype(jnp.float32))
+    extra = mask_probs * jnp.where(keep, scores, 0.0)[:, :, None, None]
+    sem_chw = sem.transpose(0, 3, 1, 2)  # [N, K, H, W]
+    return jnp.concatenate([sem_chw, extra], axis=1)
+
+
+def inference(
+    outputs: Dict[str, jax.Array], image_hw: Tuple[int, int], num_classes: int = 19
+) -> Tuple[jax.Array, jax.Array]:
+    """Full eval path: upsample both mask heads to the padded image size, compute
+    semantic logits [N, K, H, W] (first K channels) and the anomaly score [N, H, W].
+
+    The caller crops padding off afterwards (reference crops via ``sem_seg_postprocess``
+    / ``get_anomaly_score``'s ``[:size[0], :size[1]]``).
+    """
+    masks_up = resize_bilinear(
+        outputs["pred_masks"].transpose(0, 2, 3, 1), image_hw, align_corners=False
+    ).transpose(0, 3, 1, 2)
+    sem = semantic_inference(outputs["pred_logits"], masks_up, num_classes)
+    masks_ood_up = resize_bilinear(
+        outputs["pred_masks_ood"].transpose(0, 2, 3, 1), image_hw, align_corners=False
+    ).transpose(0, 3, 1, 2)
+    anomaly = mask2former_anomaly_score(outputs["pred_logits_ood"], masks_ood_up)
+    return sem, anomaly

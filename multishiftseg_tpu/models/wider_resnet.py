@@ -81,15 +81,21 @@ WRN38_CHANNELS = (
 
 
 class WiderResNetA2(nn.Module):
-    """Dilated WRN trunk exposing (mod2_out, final_out) for DeepLabV3+ skips."""
+    """Dilated WRN trunk exposing (mod2_out, final_out) for DeepLabV3+ skips.
+
+    ``structure``/``channels``/``stem_width`` are overridable so sharding dry-runs and
+    unit tests can instantiate a tiny trunk through the identical code path.
+    """
 
     structure: Sequence[int] = WRN38_STRUCTURE
+    channels: Sequence[Tuple[int, ...]] = WRN38_CHANNELS
+    stem_width: int = 64
     dilation: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = Conv(64, (3, 3), dtype=self.dtype, name="mod1_conv1")(x)
+        x = Conv(self.stem_width, (3, 3), dtype=self.dtype, name="mod1_conv1")(x)
 
         feats = {}
         for mod_id, num_blocks in enumerate(self.structure):
@@ -104,7 +110,7 @@ class WiderResNetA2(nn.Module):
                     stride = 2 if (block_id == 0 and 2 <= mod_id <= 4) else 1
                 drop = 0.3 if mod_id == 4 else (0.5 if mod_id == 5 else 0.0)
                 x = IdentityResidualBlock(
-                    channels=WRN38_CHANNELS[mod_id],
+                    channels=tuple(self.channels[mod_id]),
                     stride=stride,
                     dilation=dil,
                     dropout_rate=drop,

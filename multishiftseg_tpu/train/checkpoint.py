@@ -1,0 +1,42 @@
+"""Orbax checkpointing of params + optimizer state + epoch (+ PRNG).
+
+Upgrades the reference's ``torch.save(model.state_dict())``-on-best-AUPRC scheme
+(``train_deeplab.py:249-262``, which never saved optimizer state) to full
+checkpoint/resume.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+class CheckpointManager:
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory or "ckpts")
+        os.makedirs(self.directory, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.directory, name)
+
+    def save(self, name: str, **tree) -> str:
+        import orbax.checkpoint as ocp
+
+        path = self._path(name)
+        ckptr = ocp.StandardCheckpointer()
+        tree = jax.tree_util.tree_map(np.asarray, tree)
+        ckptr.save(path, tree, force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    def restore(self, name: str, template: Optional[Dict[str, Any]] = None):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(self._path(name), template)
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self._path(name))

@@ -1,0 +1,290 @@
+"""Mask2Former OOD fine-tuning trainer — the TPU-native ``TrainM2FOOD``.
+
+Re-implements the behaviour of ``train_m2f.py:35-526``: heavy probabilistic paired
+augmentation pipeline, OOD head (``class_embed2``) initialized by weight copy from
+``class_embed``, and the two-stage recipe —
+  * stage 1 (epoch < warmup): eval-style forward -> semantic logits + Mask2Anomaly
+    anomaly score -> RCL loss; Adam over ``class_embed2`` only; backbone always eval
+    (``set_train_mode``, train_m2f.py:409-412);
+  * stage 2: the official Hungarian-matched SetCriterion (with RCL plugged in as the
+    OOD loss) over all parameters via the detectron2-style AdamW groups + full-model
+    grad clipping.
+
+Both stages are single jitted steps over the data mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Any, Dict, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config
+from ..core.mesh import data_sharded, make_mesh
+from ..data.anomaly import RoadAnomaly21
+from ..data.cityscapes import DiverseCityscapes
+from ..data.loader import Loader, pad_to_multiple
+from ..data.transforms import (
+    AutoContrast, ColorJitter, Compose, Equalize, GaussianBlur, Normalize,
+    RandCrop, RandHorizontalFlip, RandResize, RandRotate, RandSharpness,
+    RandVerticalFlip, ToTensor,
+)
+from ..evals.ood_metrics import eval_ood_measure
+from ..losses.criterion import CriterionConfig, set_criterion
+from ..losses.rcl import make_rcl_params, rel_contrastive_loss
+from ..models.maskformer import MaskFormer, inference
+from .checkpoint import CheckpointManager
+from .state import TrainState, build_m2f_official_optimizer, build_stage_optimizer
+
+log = logging.getLogger(__name__)
+
+
+def copy_class_embed_to_ood(params):
+    """class_embed2 <- class_embed (reference ``train_m2f.py:125-132``)."""
+    flat = flax.traverse_util.flatten_dict(params)
+    for leaf in ("kernel", "bias"):
+        flat[("predictor", "class_embed2", leaf)] = flat[
+            ("predictor", "class_embed", leaf)
+        ]
+    return flax.traverse_util.unflatten_dict(flat)
+
+
+class TrainM2FOOD:
+    def __init__(self, cfg: Config, weight_path: Optional[str] = None):
+        self.cfg = cfg
+        self.mesh = make_mesh(cfg.train.num_devices)
+        m = cfg.model.m2f
+        # loss.params.mask2anomaly_loss_weight overrides the model loss weights
+        # (the reference's setup(), train_m2f.py:160-168).
+        lw = (cfg.loss.params or {}).get("mask2anomaly_loss_weight") or {}
+        m.class_weight = lw.get("class_weight", m.class_weight)
+        m.mask_weight = lw.get("mask_weight", m.mask_weight)
+        m.dice_weight = lw.get("dice_weight", m.dice_weight)
+        m.ood_weight = lw.get("ood_weight", m.ood_weight)
+        self.model = MaskFormer(
+            num_classes=m.num_classes, backbone=m.backbone, hidden_dim=m.hidden_dim,
+            num_queries=m.num_queries, nheads=m.nheads,
+            dim_feedforward=m.dim_feedforward, dec_layers=m.dec_layers - 1,
+            mask_dim=m.mask_dim, transformer_enc_layers=m.transformer_enc_layers,
+            dtype=jnp.bfloat16 if cfg.train.bf16 else None,
+        )
+        self.rcl_params = make_rcl_params(cfg.loss.params)
+        self.crit_cfg = CriterionConfig(
+            num_classes=m.num_classes, eos_coef=m.no_object_weight,
+            num_points=m.train_num_points,
+            importance_sample_ratio=m.importance_sample_ratio,
+            oversample_ratio=m.oversample_ratio, class_weight=m.class_weight,
+            mask_weight=m.mask_weight, dice_weight=m.dice_weight,
+            ood_weight=m.ood_weight,
+            ood_loss="RCL" if cfg.model.mask2anomaly.replace_official_odd_loss_with_RCL
+            else m.ood_loss,
+            margin=m.margin, deep_supervision=cfg.model.mask2anomaly.deep_supervision,
+        )
+        self.best: Dict[str, float] = {"AUPRC": -1.0}
+        self.ckpt = CheckpointManager(cfg.model_dir)
+        self.variables = self._build_variables(weight_path)
+
+    def _build_variables(self, weight_path: Optional[str]):
+        if weight_path:
+            from ..convert.torch2jax import convert_maskformer, load_torch_checkpoint
+
+            log.info("loading torch checkpoint %s", weight_path)
+            variables = convert_maskformer(
+                load_torch_checkpoint(weight_path),
+                dec_layers=self.cfg.model.m2f.dec_layers - 1,
+            )
+            variables["params"] = copy_class_embed_to_ood(variables["params"])
+            return jax.tree_util.tree_map(jnp.asarray, variables)
+        log.warning("no weight_path; training from random init")
+        h, w = self.cfg.data.crop_size
+        hp, wp = -(-h // 32) * 32, -(-w // 32) * 32
+        return jax.jit(self.model.init, static_argnames=("train",))(
+            {"params": jax.random.PRNGKey(self.cfg.train.seed)},
+            jnp.zeros((1, hp, wp, 3), jnp.float32), train=False,
+        )
+
+    # ---------------- data ----------------
+
+    def build_datasets(self):
+        d = self.cfg.data
+        # 12-stage probabilistic pipeline (train_m2f.py:48-61)
+        train_tf = Compose([
+            [ToTensor(), 1.0],
+            [ColorJitter(), 0.5],
+            [GaussianBlur(), 0.5],
+            [RandSharpness(), 0.5],
+            [AutoContrast(), 0.5],
+            [Equalize(), 0.5],
+            [RandResize(scale=[0.7, 0.8, 0.9, 1.0]), 0.5],
+            [RandRotate(), 0.5],
+            [RandHorizontalFlip(), 0.5],
+            [RandVerticalFlip(), 0.5],
+            [RandCrop(size=tuple(d.crop_size)), 1.0],
+            [Normalize(mean=d.mean, std=d.std), 1.0],
+        ])
+        test_tf = Compose([ToTensor(), Normalize(mean=d.mean, std=d.std)])
+        train_ds = DiverseCityscapes(
+            root=d.cityscapes_root, generation_root=d.generation_root,
+            coco_root=d.coco_root, split="train", transform=train_tf,
+            anomaly_mix=d.anomaly_mix, mixup=d.mixup, seed=self.cfg.train.seed,
+        )
+        val_ds = RoadAnomaly21(root=d.anomaly_track_root, transform=test_tf)
+        return train_ds, val_ds
+
+    # ---------------- steps ----------------
+
+    def _pad_batch(self, img: np.ndarray, target: np.ndarray):
+        """Pad [B, H, W, C] / [B, H, W] bottom-right to /32 (ImageList semantics:
+        images zero-pad, labels 255-pad)."""
+        h, w = img.shape[1:3]
+        ph, pw = (-h) % 32, (-w) % 32
+        if ph or pw:
+            img = np.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            target = np.pad(target, ((0, 0), (0, ph), (0, pw)), constant_values=255)
+        return img, target, (h, w)
+
+    def make_stage1_step(self, tx):
+        model, rcl_params = self.model, self.rcl_params
+        crop_hw = tuple(self.cfg.data.crop_size)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state: TrainState, img, target):
+            rng, step_rng = jax.random.split(state.rng)
+
+            def loss_fn(params):
+                outputs = model.apply({"params": params}, img, train=True)
+                sem, anomaly = inference(outputs, img.shape[1:3])
+                logit = sem[:, :19, : crop_hw[0], : crop_hw[1]]
+                logit = logit.transpose(0, 2, 3, 1)
+                anomaly = anomaly[:, : crop_hw[0], : crop_hw[1]]
+                tgt = target[:, : crop_hw[0], : crop_hw[1]]
+                loss, aux = rel_contrastive_loss(
+                    logit, anomaly, tgt, step_rng, rcl_params
+                )
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+            return (
+                TrainState(params=new_params, batch_stats=state.batch_stats,
+                           opt_state=new_opt, step=state.step + 1, rng=rng),
+                loss, aux,
+            )
+
+        return step
+
+    def make_stage2_step(self, tx):
+        model, crit_cfg, rcl_params = self.model, self.crit_cfg, self.rcl_params
+        crop_hw = tuple(self.cfg.data.crop_size)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state: TrainState, img, target):
+            rng, step_rng = jax.random.split(state.rng)
+
+            def loss_fn(params):
+                outputs = model.apply({"params": params}, img, train=True)
+                total, losses = set_criterion(
+                    outputs, target, step_rng, crit_cfg, rcl_params, crop_hw=crop_hw
+                )
+                return total, losses
+
+            (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+            return (
+                TrainState(params=new_params, batch_stats=state.batch_stats,
+                           opt_state=new_opt, step=state.step + 1, rng=rng),
+                loss, losses,
+            )
+
+        return step
+
+    def make_eval_step(self):
+        model = self.model
+
+        @jax.jit
+        def eval_step(variables, img):
+            outputs = model.apply(variables, img, train=False)
+            return inference(outputs, img.shape[1:3])
+
+        return eval_step
+
+    # ---------------- train loop ----------------
+
+    def train(self):
+        cfg = self.cfg
+        train_ds, val_ds = self.build_datasets()
+        loader = Loader(
+            train_ds, batch_size=cfg.train.train_batch, shuffle=True, drop_last=True,
+            num_workers=cfg.data.num_workers, seed=cfg.train.seed,
+        )
+
+        tx, opt_state = build_stage_optimizer(
+            self.variables["params"], cfg.train.lr, cfg.train.weight_decay,
+            cfg.model.trainable_params_name,
+        )
+        step_fn = self.make_stage1_step(tx)
+        state = TrainState(
+            params=self.variables["params"], batch_stats=None, opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(cfg.train.seed),
+        )
+        eval_step = self.make_eval_step()
+
+        for epoch in range(cfg.train.n_epochs):
+            if epoch == cfg.train.warmup_epoch:
+                m = cfg.model.m2f
+                tx, opt_state = build_m2f_official_optimizer(
+                    state.params, base_lr=m.base_lr, weight_decay=m.weight_decay,
+                    clip_value=m.clip_gradients_value,
+                    trainable_names=cfg.model.trainable_params_name_update or (".",),
+                )
+                state = state.replace(opt_state=opt_state)
+                step_fn = self.make_stage2_step(tx)
+                log.warning("switched to stage-2 official loss + AdamW groups")
+
+            t0, n_img = time.time(), 0
+            for img, target, gen_img, gen_target in loader:
+                bi = np.concatenate([img, gen_img], 0)
+                bt = np.concatenate([target, gen_target], 0).astype(np.int32)
+                bi, bt, _ = self._pad_batch(bi, bt)
+                bi = jax.device_put(bi, data_sharded(self.mesh, 4))
+                bt = jax.device_put(bt, data_sharded(self.mesh, 3))
+                state, loss, aux = step_fn(state, bi, bt)
+                n_img += bi.shape[0]
+            log.warning(
+                "epoch %d loss %.4f (%.1f img/s)", epoch, float(loss),
+                n_img / max(time.time() - t0, 1e-9),
+            )
+
+            metrics = self.valid(state, val_ds, eval_step)
+            log.warning("epoch %d %s", epoch, metrics)
+            if metrics and metrics["AUPRC"] > self.best["AUPRC"]:
+                self.best["AUPRC"] = metrics["AUPRC"]
+                self.ckpt.save("AUPRC_best", params=state.params,
+                               opt_state=state.opt_state, epoch=epoch)
+                log.warning("saved best model for AUPRC (%.4f)", metrics["AUPRC"])
+
+        self.variables = {"params": state.params}
+        return self.best
+
+    def valid(self, state: TrainState, val_ds, eval_step) -> Optional[Dict[str, float]]:
+        variables = {"params": state.params}
+        scores, gts = [], []
+        for i in range(len(val_ds)):
+            img, target, _ = val_ds[i]
+            img_p, (h, w) = pad_to_multiple(img, 32)
+            sem, anomaly = eval_step(variables, jnp.asarray(img_p[None]))
+            scores.append(np.asarray(anomaly[0, :h, :w], np.float32))
+            gts.append(np.asarray(target))
+        res = eval_ood_measure(np.stack(scores), np.stack(gts))
+        if res is None:
+            return None
+        auroc, auprc, fpr = res
+        return {"AUROC": auroc, "AUPRC": auprc, "FPR_TPR95": fpr}

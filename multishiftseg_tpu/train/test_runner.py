@@ -1,0 +1,167 @@
+"""Evaluation runners — the TPU-native ``test_deeplab.py`` / ``test_m2f.py``.
+
+Iterates the anomaly benchmarks (RoadAnomaly, SMIYC RA21/RO21, MUAD, ACDC-POC) with
+whole-image forwards and reports AUROC/AUPRC/FPR@95 per dataset, like
+``TestDeepLabOOD.test_all`` (``test_deeplab.py:74-140``).
+
+TPU design: variable eval resolutions are padded to /32 *buckets* so the jitted
+forward compiles once per bucket instead of once per unique shape; scores are cropped
+back before metric computation.
+
+CLI:
+  python -m multishiftseg_tpu.train.test_runner --model deeplab \
+      --cfg exps/deeplab.yaml --weight_path ckpt.pth [--test_dataset RoadAnomaly]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config, load_config
+from ..data.anomaly import EVAL_DATASETS
+from ..data.transforms import Compose, Normalize, ToTensor
+from ..evals.ood_metrics import eval_ood_measure
+from ..evals.seg_metrics import compute_metric, hist_info
+
+log = logging.getLogger(__name__)
+
+DEFAULT_DATASETS = ("RoadAnomaly", "RoadAnomaly21", "RoadObstacle21")
+
+
+def bucket_shape(h: int, w: int, multiple: int = 128) -> Tuple[int, int]:
+    """Round (h, w) up to a coarse bucket to bound the number of compiled programs."""
+    return (-(-h // multiple) * multiple, -(-w // multiple) * multiple)
+
+
+class OODEvaluator:
+    """Shared whole-image eval loop over the anomaly benchmarks."""
+
+    def __init__(self, cfg: Config, forward_fn, dataset_roots: Dict[str, str]):
+        """forward_fn(img [1,H,W,3] float) -> (anomaly [1,H,W], sem_logits or None)."""
+        self.cfg = cfg
+        self.forward_fn = forward_fn
+        self.roots = dataset_roots
+
+    def _transform(self):
+        d = self.cfg.data
+        return Compose([ToTensor(), Normalize(mean=d.mean, std=d.std)])
+
+    def test(self, name: str) -> Optional[Dict[str, float]]:
+        ds_cls = EVAL_DATASETS[name]
+        kwargs = {}
+        if name in self.roots:
+            kwargs["root"] = self.roots[name]
+        ds = ds_cls(transform=self._transform(), **kwargs)
+        if len(ds) == 0:
+            log.warning("%s: no images found", name)
+            return None
+        scores: List[np.ndarray] = []
+        gts: List[np.ndarray] = []
+        hists = []
+        for i in range(len(ds)):
+            item = ds[i]
+            img, target = item[0], item[1]
+            eval_gt = item[3] if len(item) > 3 else None
+            h, w = img.shape[:2]
+            bh, bw = bucket_shape(h, w)
+            img_p = np.pad(img, ((0, bh - h), (0, bw - w), (0, 0)))
+            anomaly, sem = self.forward_fn(jnp.asarray(img_p[None]))
+            scores.append(np.asarray(anomaly[0, :h, :w], np.float32).reshape(-1))
+            gts.append(np.asarray(target).reshape(-1))
+            if eval_gt is not None and sem is not None:
+                pred = np.asarray(jnp.argmax(sem[0, :19, :h, :w], axis=0))
+                hists.append(dict(zip(("hist", "labeled", "correct"),
+                                      hist_info(19, pred, np.asarray(eval_gt)))))
+        res = eval_ood_measure(np.concatenate(scores), np.concatenate(gts))
+        if res is None:
+            return None
+        out = {"AUROC": res[0], "AUPRC": res[1], "FPR_TPR95": res[2]}
+        if hists:
+            miou, pacc = compute_metric(hists)
+            out.update({"mIoU": miou, "pixel_acc": pacc})
+        return out
+
+    def test_all(self, names=DEFAULT_DATASETS) -> Dict[str, Dict[str, float]]:
+        results = {}
+        for name in names:
+            try:
+                r = self.test(name)
+            except Exception as e:  # per-dataset resilience (test_deeplab.py:122-128)
+                log.warning("%s failed: %s", name, e)
+                r = None
+            if r is not None:
+                results[name] = r
+                log.warning(
+                    "%s: AUROC %.2f AUPRC %.2f FPR95 %.2f", name,
+                    100 * r["AUROC"], 100 * r["AUPRC"], 100 * r["FPR_TPR95"],
+                )
+        return results
+
+
+def build_deeplab_forward(cfg: Config, weight_path: Optional[str]):
+    from ..models.deeplab import DeepWV3Plus
+    from ..train.deeplab_trainer import TrainDeepLabOOD
+
+    trainer = TrainDeepLabOOD(cfg, weight_path)
+    model, variables = trainer.model, trainer.variables
+
+    @jax.jit
+    def fwd(img):
+        score, logit = model.apply(variables, img, train=False)
+        return score, logit.transpose(0, 3, 1, 2)
+
+    return fwd
+
+
+def build_m2f_forward(cfg: Config, weight_path: Optional[str]):
+    from ..models.maskformer import inference
+    from ..train.m2f_trainer import TrainM2FOOD
+
+    trainer = TrainM2FOOD(cfg, weight_path)
+    model, variables = trainer.model, trainer.variables
+
+    @jax.jit
+    def fwd(img):
+        outputs = model.apply(variables, img, train=False)
+        sem, anomaly = inference(outputs, img.shape[1:3])
+        return anomaly, sem
+
+    return fwd
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", choices=["deeplab", "m2f"], required=True)
+    parser.add_argument("--cfg", default=None)
+    parser.add_argument("--id", default="eval")
+    parser.add_argument("--weight_path", default=None)
+    parser.add_argument("--test_dataset", default=None)
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    cfg = load_config(args.cfg, args.id)
+    build = build_deeplab_forward if args.model == "deeplab" else build_m2f_forward
+    fwd = build(cfg, args.weight_path)
+
+    d = cfg.data
+    roots = {
+        "RoadAnomaly": d.road_anomaly_root,
+        "RoadAnomaly21": d.anomaly_track_root,
+        "RoadObstacle21": d.obstacle_track_root,
+        "MUAD": d.muad_root,
+        "ACDC_POC": d.acdc_root,
+    }
+    ev = OODEvaluator(cfg, fwd, roots)
+    names = (args.test_dataset,) if args.test_dataset else DEFAULT_DATASETS
+    results = ev.test_all(names)
+    print(results)
+
+
+if __name__ == "__main__":
+    main()
