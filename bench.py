@@ -69,10 +69,14 @@ def main():
 
     for _ in range(WARMUP):
         jax.block_until_ready(fwd(variables, img))
+    # Chain a data dependency through each iteration: the device runtime can coalesce /
+    # cache repeated identical dispatches, which fakes throughput otherwise.
     t0 = time.perf_counter()
+    x = img
     for _ in range(ITERS):
-        out = fwd(variables, img)
-    jax.block_until_ready(out)
+        out = fwd(variables, x)
+        x = img + jnp.mean(out).astype(img.dtype)
+    jax.block_until_ready(x)
     dt = time.perf_counter() - t0
     img_per_s = ITERS * img.shape[0] / dt
 

@@ -116,19 +116,20 @@ def convert_deeplab(state_dict) -> Dict:
             tb.conv(dst + ("proj_conv",), sd[k])
 
     # ASPP: features.0..3 = Sequential(conv, bn, relu); img_conv likewise.
+    # (ConvBNReLU nests the Conv wrapper under a child named 'conv'.)
     for i in range(4):
-        tb.conv(("aspp", f"features_{i}"), sd[f"aspp.features.{i}.0.weight"])
+        tb.conv(("aspp", f"features_{i}", "conv"), sd[f"aspp.features.{i}.0.weight"])
         tb.bn(("aspp", f"features_{i}"), *_bn_group(sd, f"aspp.features.{i}.1"))
-    tb.conv(("aspp", "img_conv"), sd["aspp.img_conv.0.weight"])
+    tb.conv(("aspp", "img_conv", "conv"), sd["aspp.img_conv.0.weight"])
     tb.bn(("aspp", "img_conv"), *_bn_group(sd, "aspp.img_conv.1"))
 
     tb.conv(("bot_fine",), sd["bot_fine.weight"])
     tb.conv(("bot_aspp",), sd["bot_aspp.weight"])
 
     # final head: Sequential(conv, bn, relu, conv, bn, relu, conv)
-    tb.conv(("final_0",), sd["final.0.weight"])
+    tb.conv(("final_0", "conv"), sd["final.0.weight"])
     tb.bn(("final_0",), *_bn_group(sd, "final.1"))
-    tb.conv(("final_1",), sd["final.3.weight"])
+    tb.conv(("final_1", "conv"), sd["final.3.weight"])
     tb.bn(("final_1",), *_bn_group(sd, "final.4"))
     tb.conv(("final_cls",), sd["final.6.weight"])
     tb.conv(("ood_head",), sd["ood_head.weight"])

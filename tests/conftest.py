@@ -9,12 +9,19 @@ import os
 
 # Force CPU: the environment pins JAX_PLATFORMS=axon (the TPU tunnel), which
 # serializes concurrent test runs on one chip; tests must use the virtual CPU mesh.
+# A site hook imports jax at interpreter startup, latching the env var — so update the
+# live config too (backend init is lazy, this still takes effect).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest
