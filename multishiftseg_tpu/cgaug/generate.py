@@ -1,0 +1,183 @@
+"""CG-Aug generation driver: seg-conditioned image synthesis with semantic-shift
+pasting and SAM/detector quality filtering.
+
+Behavioural port of ``CGAug/generate_multishift_image.py:32-234`` with pluggable
+backends (Protocols below) instead of the vendored ControlNet/SAM stacks: the
+diffusion model, the promptable segmenter, and the OOD detector are injected. The
+detector slot is naturally served by this framework's own Mask2Anomaly model
+(:func:`make_m2f_detector`), which runs on TPU.
+
+Pipeline per Cityscapes frame (``generate()``):
+  1. remap the color label into the ADE20K palette;
+  2. paste a random OOD object's mask onto the road in label space;
+  3. sample a domain prompt (weather x time x place, 50% plain);
+  4. run the seg-conditioned diffusion backend;
+  5. auto-filter: SAM box-prompted IoU > iou_threshold AND mean detector score in the
+     pasted region >= score_threshold; otherwise resample (bounded retries).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Protocol, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from .label_ops import cityscapes_to_ade20k, paste_anomaly
+from .prompts import DEFAULT_PLACES, DEFAULT_WEATHERS, get_prompt
+
+log = logging.getLogger(__name__)
+
+
+class DiffusionBackend(Protocol):
+    def generate(self, seg_label_rgb: np.ndarray, prompt: str) -> np.ndarray:
+        """[H, W, 3] ADE20K-palette label + prompt -> [H, W, 3] uint8 image."""
+
+
+class PromptableSegmenter(Protocol):
+    def segment_box(self, image: np.ndarray, box_xyxy: np.ndarray) -> np.ndarray:
+        """Image + box -> binary mask [H, W] (SAM-style box prompting)."""
+
+
+class AnomalyDetector(Protocol):
+    def anomaly_score(self, image: np.ndarray) -> np.ndarray:
+        """[H, W, 3] uint8 -> [H, W] per-pixel anomaly score."""
+
+
+class AnomalySource(Protocol):
+    def sample(self, rng: np.random.Generator) -> Tuple[np.ndarray, str]:
+        """-> (binary object mask [h, w], ADE20K class name)."""
+
+
+def _bbox(mask: np.ndarray) -> np.ndarray:
+    ys, xs = np.where(mask == 1)
+    return np.asarray([xs.min(), ys.min(), xs.max(), ys.max()])
+
+
+def _iou(a: np.ndarray, b: np.ndarray) -> float:
+    inter = np.logical_and(a, b).sum()
+    union = np.logical_or(a, b).sum()
+    return float(inter) / max(float(union), 1.0)
+
+
+@dataclass
+class GenerationConfig:
+    weathers: Sequence[str] = DEFAULT_WEATHERS
+    places: Sequence[str] = DEFAULT_PLACES
+    iou_threshold: float = 0.7
+    score_threshold: float = -3.02
+    max_retries: int = 5
+    ood_label_id: int = 254
+    seed: int = 0
+
+
+class MultiShiftGenerator:
+    """The ``Semantic2ImageGenerator`` equivalent with injected backends."""
+
+    def __init__(
+        self,
+        diffusion: DiffusionBackend,
+        anomaly_source: AnomalySource,
+        cfg: GenerationConfig = GenerationConfig(),
+        segmenter: Optional[PromptableSegmenter] = None,
+        detector: Optional[AnomalyDetector] = None,
+    ):
+        self.diffusion = diffusion
+        self.anomaly_source = anomaly_source
+        self.segmenter = segmenter
+        self.detector = detector
+        self.cfg = cfg
+        self.rng = np.random.default_rng(cfg.seed)
+
+    def auto_filter(self, image: np.ndarray, anomaly_mask: np.ndarray) -> bool:
+        """SAM IoU + detector-score acceptance (``auto_filtering``,
+        generate_multishift_image.py:145-184)."""
+        if self.segmenter is not None and anomaly_mask.sum() > 0:
+            pred = self.segmenter.segment_box(image, _bbox(anomaly_mask))
+            if _iou(pred, anomaly_mask) <= self.cfg.iou_threshold:
+                return False
+        if self.detector is not None and anomaly_mask.sum() > 0:
+            score = self.detector.anomaly_score(image)
+            if float(score[anomaly_mask == 1].mean()) < self.cfg.score_threshold:
+                return False
+        return True
+
+    def generate(
+        self, color_label: np.ndarray
+    ) -> Optional[Tuple[np.ndarray, np.ndarray, str, str]]:
+        """color_label: Cityscapes ``_gtFine_color.png`` RGB array.
+
+        Returns (image, anomaly_mask, ood_name, domain) or None after max_retries.
+        """
+        ade_label, _ = cityscapes_to_ade20k(color_label)
+        for attempt in range(self.cfg.max_retries):
+            obj_mask, ood_name = self.anomaly_source.sample(self.rng)
+            pasted, anomaly_mask = paste_anomaly(ade_label, obj_mask, ood_name, self.rng)
+            prompt, domain = get_prompt(
+                self.cfg.weathers, self.cfg.places, self.rng, ood_name=ood_name
+            )
+            image = self.diffusion.generate(pasted, prompt)
+            if self.auto_filter(image, anomaly_mask):
+                return image, anomaly_mask, ood_name, domain
+            log.info("attempt %d rejected by auto-filter", attempt)
+        return None
+
+    def run(
+        self,
+        color_label_paths: Sequence[str],
+        train_id_label_paths: Sequence[str],
+        out_image_dir: str,
+        out_label_dir: str,
+    ):
+        """Batch driver with resume-by-existence (generate_multishift_image.py:195-198):
+        writes the generated image and a trainId label where pasted pixels = 254."""
+        os.makedirs(out_image_dir, exist_ok=True)
+        os.makedirs(out_label_dir, exist_ok=True)
+        for color_path, tid_path in zip(color_label_paths, train_id_label_paths):
+            stem = os.path.basename(color_path).split("_gtFine")[0]
+            out_img = os.path.join(out_image_dir, f"{stem}_leftImg8bit.png")
+            if os.path.exists(out_img):
+                continue
+            color = np.asarray(Image.open(color_path).convert("RGB"))
+            result = self.generate(color)
+            if result is None:
+                log.warning("%s: generation failed after retries", stem)
+                continue
+            image, anomaly_mask, ood_name, domain = result
+            tid = np.asarray(Image.open(tid_path)).copy()
+            tid[anomaly_mask == 1] = self.cfg.ood_label_id
+            Image.fromarray(image).save(out_img)
+            Image.fromarray(tid).save(
+                os.path.join(out_label_dir, f"{stem}_gtFine_labelTrainIds.png")
+            )
+            log.info("%s: generated (%s%s)", stem, ood_name, domain)
+
+
+def make_m2f_detector(variables, model) -> AnomalyDetector:
+    """Serve the quality-filter detector slot with this framework's Mask2Anomaly
+    model (replacing the reference's separate Mask2Anomaly torch checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.loader import pad_to_multiple
+    from ..models.maskformer import inference
+
+    @jax.jit
+    def fwd(img):
+        outputs = model.apply(variables, img, train=False)
+        _, anomaly = inference(outputs, img.shape[1:3])
+        return anomaly
+
+    class _Detector:
+        def anomaly_score(self, image: np.ndarray) -> np.ndarray:
+            x = image.astype(np.float32) / 255.0
+            mean = np.asarray((0.485, 0.456, 0.406), np.float32)
+            std = np.asarray((0.229, 0.224, 0.225), np.float32)
+            x = (x - mean) / std
+            x, (h, w) = pad_to_multiple(x, 32)
+            return np.asarray(fwd(jnp.asarray(x[None]))[0, :h, :w])
+
+    return _Detector()

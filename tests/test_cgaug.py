@@ -1,0 +1,101 @@
+"""CG-Aug label ops, prompting, and the generation driver with stub backends."""
+
+import numpy as np
+import pytest
+
+from multishiftseg_tpu.cgaug.generate import GenerationConfig, MultiShiftGenerator
+from multishiftseg_tpu.cgaug.label_ops import cityscapes_to_ade20k, paste_on_road
+from multishiftseg_tpu.cgaug.palettes import ade20k_color
+from multishiftseg_tpu.cgaug.prompts import get_prompt
+
+
+def _city_label(h=600, w=800):
+    lbl = np.zeros((h, w, 3), np.uint8)
+    lbl[:] = (70, 130, 180)  # sky
+    lbl[h // 2 :] = (128, 64, 128)  # road
+    lbl[h // 2 : h // 2 + 40, :100] = (220, 20, 60)  # person
+    return lbl
+
+
+def test_cityscapes_to_ade20k_remap():
+    ade, present = cityscapes_to_ade20k(_city_label())
+    assert "road" in present and "sky" in present and "person" in present
+    assert (np.all(ade == ade20k_color("road"), -1)).sum() > 0
+    assert (np.all(ade == ade20k_color("sky"), -1)).sum() > 0
+    # no cityscapes road color should remain
+    assert (np.all(ade == (128, 64, 128), -1)).sum() == 0
+
+
+def test_paste_on_road_places_object_on_road():
+    ade, _ = cityscapes_to_ade20k(_city_label())
+    mask = np.zeros((50, 80), np.uint8)
+    mask[10:40, 20:60] = 1
+    rng = np.random.default_rng(0)
+    rgb = ade20k_color("animal")
+    out = paste_on_road(ade, mask, rgb, rng)
+    pasted = np.all(out == rgb, -1)
+    assert pasted.sum() > 0
+    # longer side rescaled into [200, 500]
+    ys, xs = np.where(pasted)
+    assert 150 <= max(ys.max() - ys.min(), xs.max() - xs.min()) <= 500
+
+
+def test_get_prompt_composition():
+    rng = np.random.default_rng(0)
+    seen_plain = seen_domain = False
+    for _ in range(50):
+        prompt, domain = get_prompt(("rainy",), ("Zurich",), rng, ood_name="sofa")
+        assert "dash cam" in prompt
+        assert "There is a sofa accidentally staying on the road." in prompt
+        if domain == "":
+            seen_plain = True
+        else:
+            assert domain == "_rainy_day_Zurich" or domain == "_rainy_night_Zurich"
+            seen_domain = True
+    assert seen_plain and seen_domain
+
+
+class StubDiffusion:
+    def generate(self, seg_label_rgb, prompt):
+        return (seg_label_rgb // 2 + 64).astype(np.uint8)
+
+
+class StubSource:
+    def sample(self, rng):
+        m = np.zeros((100, 100), np.uint8)
+        m[20:80, 30:70] = 1
+        return m, "animal"
+
+
+class AcceptAllSAM:
+    def segment_box(self, image, box):
+        m = np.zeros(image.shape[:2], np.uint8)
+        m[box[1] : box[3] + 1, box[0] : box[2] + 1] = 1
+        return m
+
+
+class RejectingDetector:
+    def __init__(self, score):
+        self.score = score
+
+    def anomaly_score(self, image):
+        return np.full(image.shape[:2], self.score, np.float32)
+
+
+def test_generator_accepts_and_rejects():
+    gen = MultiShiftGenerator(
+        StubDiffusion(), StubSource(),
+        GenerationConfig(max_retries=2, iou_threshold=0.3),
+        segmenter=AcceptAllSAM(), detector=RejectingDetector(0.0),
+    )
+    out = gen.generate(_city_label())
+    assert out is not None
+    image, mask, name, domain = out
+    assert image.dtype == np.uint8 and mask.sum() > 0 and name == "animal"
+
+    gen_bad = MultiShiftGenerator(
+        StubDiffusion(), StubSource(),
+        GenerationConfig(max_retries=2, score_threshold=100.0),
+        detector=RejectingDetector(0.0),
+    )
+    assert gen_bad.generate(_city_label()) is None
