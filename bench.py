@@ -68,16 +68,20 @@ def main():
     name, fwd, variables, img = bench_deeplab() if which == "deeplab" else bench_m2f()
 
     for _ in range(WARMUP):
-        jax.block_until_ready(fwd(variables, img))
-    # Chain a data dependency through each iteration: the device runtime can coalesce /
-    # cache repeated identical dispatches, which fakes throughput otherwise.
+        float(jnp.mean(fwd(variables, img)))
+    # Chain a data dependency through each iteration and finish with a host data read:
+    # the device runtime can coalesce repeated identical dispatches, and
+    # block_until_ready alone has been observed to return early over remote transports.
+    sync0 = time.perf_counter()
+    base = float(jnp.mean(img))
+    sync_overhead = time.perf_counter() - sync0
     t0 = time.perf_counter()
     x = img
     for _ in range(ITERS):
         out = fwd(variables, x)
         x = img + jnp.mean(out).astype(img.dtype)
-    jax.block_until_ready(x)
-    dt = time.perf_counter() - t0
+    float(jnp.mean(x))  # forces completion of the whole chain
+    dt = max(time.perf_counter() - t0 - sync_overhead, 1e-9)
     img_per_s = ITERS * img.shape[0] / dt
 
     print(json.dumps({

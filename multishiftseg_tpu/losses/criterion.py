@@ -74,7 +74,7 @@ def _corner_gather_labels(labels: jax.Array, coords: jax.Array):
     def corner(ix, iy, wgt):
         valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
         idx = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
-        lab = jnp.take_along_axis(flat, idx, axis=1)
+        lab = jax.vmap(lambda vb, ib: vb[ib])(flat, idx)
         return lab, wgt * valid.astype(jnp.float32)
 
     l00, w00 = corner(x0i, y0i, (1 - wx) * (1 - wy))

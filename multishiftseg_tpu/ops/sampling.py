@@ -36,7 +36,8 @@ def bilinear_sample_pixel(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Arr
     def corner(ix, iy):
         valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
         idx = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
-        v = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        # row-gather formulation: XLA:TPU runs [1, C]-slice gathers at HBM bandwidth
+        v = jax.vmap(lambda vb, ib: vb[ib])(flat, idx)
         return v * valid[..., None].astype(v.dtype)
 
     v00 = corner(x0i, y0i)
