@@ -36,6 +36,24 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # Large-dilation 3x3 convs (ASPP rates 12/24/36) lower poorly in XLA:TPU
+        # (~12% MFU measured on v5e); nine shifted dense matmuls are exact and
+        # MXU-bound. The child is named "conv" with a "kernel" param so checkpoint
+        # paths are identical to the nn.Conv branch.
+        if (
+            self.kernel_size == (3, 3)
+            and self.dilation[0] >= 8
+            and self.dilation == (self.dilation[0], self.dilation[0])
+            and self.strides == (1, 1)
+            and self.groups == 1
+            and not self.use_bias
+            and self.padding is None
+        ):
+            return _ShiftedDilatedConv(
+                features=self.features, rate=self.dilation[0], dtype=self.dtype,
+                name="conv",
+            )(x)
+
         if self.padding is None:
             pad = tuple(
                 d * (k // 2) for k, d in zip(self.kernel_size, self.dilation)
@@ -57,6 +75,23 @@ class Conv(nn.Module):
             kernel_init=nn.initializers.he_normal(),
             name="conv",
         )(x)
+
+
+class _ShiftedDilatedConv(nn.Module):
+    """3x3 dilated conv as 9 shifted matmuls (see ops/dilated_conv.py)."""
+
+    features: int
+    rate: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.dilated_conv import dilated_conv3x3
+
+        kernel = self.param(
+            "kernel", nn.initializers.he_normal(), (3, 3, x.shape[-1], self.features)
+        )
+        return dilated_conv3x3(x, kernel.astype(self.dtype or x.dtype), self.rate)
 
 
 class BatchNorm(nn.Module):

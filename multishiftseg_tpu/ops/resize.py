@@ -72,10 +72,17 @@ def resize_bilinear(
     mh = jnp.asarray(_interp_matrix(h_in, h_out, align_corners))
     mw = jnp.asarray(_interp_matrix(w_in, w_out, align_corners))
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    # Interpolation weights are near-1 and must not round through bf16 (the TPU default
-    # matmul precision); force full fp32 accumulation.
-    hp = jax.lax.Precision.HIGHEST
+    # fp32 inputs (logit/score paths, parity tests) use full-precision interpolation;
+    # bf16 feature maps keep the fast MXU path — their values are already bf16-rounded
+    # and pow-of-2 scale factors have exactly representable weights.
+    if dtype == jnp.bfloat16:
+        hp = jax.lax.Precision.DEFAULT
+        xf = x
+        mh = mh.astype(jnp.bfloat16)
+        mw = mw.astype(jnp.bfloat16)
+    else:
+        hp = jax.lax.Precision.HIGHEST
+        xf = x.astype(jnp.float32)
     # [..., H_in, W_in, C] -> [..., H_out, W_in, C]
     xf = jnp.einsum("oh,...hwc->...owc", mh, xf, precision=hp)
     # -> [..., H_out, W_out, C]
