@@ -31,7 +31,14 @@ SIZE_DIVISIBILITY = 32
 
 
 class MaskFormer(nn.Module):
-    """Returns the prediction dict of the GMA decoder on preprocessed images."""
+    """Returns the prediction dict of the selected decoder on preprocessed images.
+
+    ``pixel_decoder`` selects among the registered alternatives (reference registry
+    names): 'msdeformattn' (MSDeformAttnPixelDecoder, the shipped config), 'fpn'
+    (BasePixelDecoder), 'transformer_encoder' (MaskFormer-v1).
+    ``predictor``: 'gma' (MultiScaleMaskedTransformerDecoder_GMA, dual OOD heads) or
+    'vanilla' (MultiScaleMaskedTransformerDecoder).
+    """
 
     num_classes: int = 19
     backbone: str = "resnet50"  # resnet50 | resnet101 | swin_{tiny,small,base,large}
@@ -42,6 +49,8 @@ class MaskFormer(nn.Module):
     dec_layers: int = 9
     mask_dim: int = 256
     transformer_enc_layers: int = 6
+    pixel_decoder: str = "msdeformattn"
+    predictor: str = "gma"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -58,18 +67,47 @@ class MaskFormer(nn.Module):
         else:
             raise ValueError(f"unknown backbone {self.backbone}")
 
-        mask_features, _, multi_scale = MSDeformAttnPixelDecoder(
-            conv_dim=self.hidden_dim, mask_dim=self.mask_dim,
-            transformer_enc_layers=self.transformer_enc_layers,
-            dtype=self.dtype, name="pixel_decoder",
-        )(feats)
+        if self.pixel_decoder == "msdeformattn":
+            mask_features, _, multi_scale = MSDeformAttnPixelDecoder(
+                conv_dim=self.hidden_dim, mask_dim=self.mask_dim,
+                transformer_enc_layers=self.transformer_enc_layers,
+                dtype=self.dtype, name="pixel_decoder",
+            )(feats)
+        elif self.pixel_decoder == "fpn":
+            from .fpn_decoder import BasePixelDecoder
 
-        return MultiScaleMaskedTransformerDecoderGMA(
+            mask_features, _, multi_scale = BasePixelDecoder(
+                conv_dim=self.hidden_dim, mask_dim=self.mask_dim,
+                dtype=self.dtype, name="pixel_decoder",
+            )(feats)
+        elif self.pixel_decoder == "transformer_encoder":
+            from .fpn_decoder import TransformerEncoderPixelDecoder
+
+            mask_features, _, multi_scale = TransformerEncoderPixelDecoder(
+                conv_dim=self.hidden_dim, mask_dim=self.mask_dim,
+                transformer_enc_layers=self.transformer_enc_layers,
+                dtype=self.dtype, name="pixel_decoder",
+            )(feats)
+        else:
+            raise ValueError(f"unknown pixel_decoder {self.pixel_decoder}")
+
+        decoder_kwargs = dict(
             num_classes=self.num_classes, hidden_dim=self.hidden_dim,
             num_queries=self.num_queries, nheads=self.nheads,
             dim_feedforward=self.dim_feedforward, dec_layers=self.dec_layers,
             mask_dim=self.mask_dim, dtype=self.dtype, name="predictor",
-        )(multi_scale, mask_features)
+        )
+        if self.predictor == "gma":
+            return MultiScaleMaskedTransformerDecoderGMA(**decoder_kwargs)(
+                multi_scale, mask_features
+            )
+        elif self.predictor == "vanilla":
+            from .transformer_decoder import MultiScaleMaskedTransformerDecoder
+
+            return MultiScaleMaskedTransformerDecoder(**decoder_kwargs)(
+                multi_scale, mask_features
+            )
+        raise ValueError(f"unknown predictor {self.predictor}")
 
 
 def preprocess(

@@ -37,6 +37,7 @@ class BottleneckBlock(nn.Module):
     bottleneck_channels: int
     out_channels: int
     stride: int = 1
+    dilation: int = 1
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -50,7 +51,7 @@ class BottleneckBlock(nn.Module):
         out = Conv(self.bottleneck_channels, (1, 1), dtype=self.dtype, name="conv1")(x)
         out = nn.relu(FrozenBN(dtype=self.dtype, name="norm1")(out))
         out = Conv(self.bottleneck_channels, (3, 3), strides=(self.stride,) * 2,
-                   dtype=self.dtype, name="conv2")(out)
+                   dilation=(self.dilation,) * 2, dtype=self.dtype, name="conv2")(out)
         out = nn.relu(FrozenBN(dtype=self.dtype, name="norm2")(out))
         out = Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv3")(out)
         out = FrozenBN(dtype=self.dtype, name="norm3")(out)
@@ -64,9 +65,15 @@ RESNET_STAGES = {
 
 
 class ResNet(nn.Module):
-    """ResNet trunk returning {'res2': s4, 'res3': s8, 'res4': s16, 'res5': s32}."""
+    """ResNet trunk returning {'res2': s4, 'res3': s8, 'res4', 'res5'}.
+
+    ``output_stride=32`` is the detectron2 backbone used by Mask2Former;
+    ``output_stride=8`` applies the DeepLab D-variant (dilation 2/4 + stride 1 in
+    res4/res5, reference ``deepv3.py:128-137``).
+    """
 
     depth: int = 50
+    output_stride: int = 32
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -83,11 +90,16 @@ class ResNet(nn.Module):
         out_channels = 256
         for stage_idx, num_blocks in enumerate(stages):
             stride = 1 if stage_idx == 0 else 2
+            dilation = 1
+            if self.output_stride == 8 and stage_idx >= 2:
+                stride = 1
+                dilation = 2 if stage_idx == 2 else 4
             for block_idx in range(num_blocks):
                 x = BottleneckBlock(
                     bottleneck_channels=bottleneck,
                     out_channels=out_channels,
                     stride=stride if block_idx == 0 else 1,
+                    dilation=dilation,
                     dtype=self.dtype,
                     name=f"res{stage_idx + 2}_{block_idx}",
                 )(x)

@@ -222,3 +222,111 @@ class MultiScaleMaskedTransformerDecoderGMA(nn.Module):
             "pred_masks_ood": pred_mask_ood[-1],
             "aux_outputs": aux,
         }
+
+
+class MultiScaleMaskedTransformerDecoder(nn.Module):
+    """Vanilla Mask2Former decoder (single masked cross attention, no OOD head) —
+    the registered non-anomaly alternative
+    (reference ``mask2former_transformer_decoder.py:575-830``)."""
+
+    num_classes: int = 19
+    hidden_dim: int = 256
+    num_queries: int = 100
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    dec_layers: int = 9
+    mask_dim: int = 256
+    num_feature_levels: int = 3
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.query_feat = self.param(
+            "query_feat", nn.initializers.normal(1.0), (self.num_queries, self.hidden_dim)
+        )
+        self.query_embed = self.param(
+            "query_embed", nn.initializers.normal(1.0), (self.num_queries, self.hidden_dim)
+        )
+        self.level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0),
+            (self.num_feature_levels, self.hidden_dim),
+        )
+        self.cross_layers = [
+            CrossAttentionLayer(self.hidden_dim, self.nheads, dtype=self.dtype,
+                                name=f"cross_{i}")
+            for i in range(self.dec_layers)
+        ]
+        self.self_layers = [
+            SelfAttentionLayer(self.hidden_dim, self.nheads, dtype=self.dtype,
+                               name=f"self_{i}")
+            for i in range(self.dec_layers)
+        ]
+        self.ffn_layers = [
+            FFNLayer(self.hidden_dim, self.dim_feedforward, dtype=self.dtype,
+                     name=f"ffn_{i}")
+            for i in range(self.dec_layers)
+        ]
+        self.decoder_norm = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")
+        self.class_embed = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+                                    name="class_embed")
+        self.mask_embed = MLP(self.hidden_dim, self.mask_dim, 3, dtype=self.dtype,
+                              name="mask_embed")
+
+    def _predict(self, output, mask_features):
+        x = self.decoder_norm(output)
+        outputs_class = self.class_embed(x)
+        mask_embed = self.mask_embed(x)
+        outputs_mask = jnp.einsum(
+            "nqc,nhwc->nqhw", mask_embed.astype(jnp.float32),
+            mask_features.astype(jnp.float32),
+        )
+        return outputs_class, outputs_mask
+
+    def __call__(self, x, mask_features):
+        assert len(x) == self.num_feature_levels
+        n = x[0].shape[0]
+        srcs, poss, sizes = [], [], []
+        for i in range(self.num_feature_levels):
+            h, w = x[i].shape[1], x[i].shape[2]
+            sizes.append((h, w))
+            pe = position_embedding_sine(h, w, self.hidden_dim).astype(x[i].dtype)
+            poss.append(jnp.broadcast_to(
+                pe.reshape(1, h * w, self.hidden_dim), (n, h * w, self.hidden_dim)))
+            srcs.append(
+                x[i].reshape(n, h * w, self.hidden_dim)
+                + self.level_embed[i].astype(x[i].dtype)
+            )
+
+        output = jnp.broadcast_to(
+            self.query_feat[None], (n, self.num_queries, self.hidden_dim)
+        ).astype(srcs[0].dtype)
+        query_pos = jnp.broadcast_to(
+            self.query_embed[None], (n, self.num_queries, self.hidden_dim)
+        ).astype(srcs[0].dtype)
+
+        pred_class, pred_mask = [], []
+        outputs_class, outputs_mask = self._predict(output, mask_features)
+        mask_fg, _ = _attn_masks_from_logits(outputs_mask, sizes[0], self.nheads)
+        pred_class.append(outputs_class)
+        pred_mask.append(outputs_mask)
+
+        for i in range(self.dec_layers):
+            li = i % self.num_feature_levels
+            output = self.cross_layers[i](output, srcs[li], mask_fg, poss[li], query_pos)
+            output = self.self_layers[i](output, query_pos)
+            output = self.ffn_layers[i](output)
+            outputs_class, outputs_mask = self._predict(output, mask_features)
+            mask_fg, _ = _attn_masks_from_logits(
+                outputs_mask, sizes[(i + 1) % self.num_feature_levels], self.nheads
+            )
+            pred_class.append(outputs_class)
+            pred_mask.append(outputs_mask)
+
+        aux = [
+            {"pred_logits": a, "pred_masks": b}
+            for a, b in zip(pred_class[:-1], pred_mask[:-1])
+        ]
+        return {
+            "pred_logits": pred_class[-1],
+            "pred_masks": pred_mask[-1],
+            "aux_outputs": aux,
+        }

@@ -36,6 +36,8 @@ class CheckpointManager:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
+        if template is not None:
+            template = jax.tree_util.tree_map(np.asarray, template)
         return ckptr.restore(self._path(name), template)
 
     def exists(self, name: str) -> bool:

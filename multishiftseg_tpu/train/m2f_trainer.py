@@ -158,7 +158,10 @@ class TrainM2FOOD:
             rng, step_rng = jax.random.split(state.rng)
 
             def loss_fn(params):
-                outputs = model.apply({"params": params}, img, train=True)
+                outputs = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats}, img,
+                    train=True,
+                )
                 sem, anomaly = inference(outputs, img.shape[1:3])
                 logit = sem[:, :19, : crop_hw[0], : crop_hw[1]]
                 logit = logit.transpose(0, 2, 3, 1)
@@ -189,7 +192,10 @@ class TrainM2FOOD:
             rng, step_rng = jax.random.split(state.rng)
 
             def loss_fn(params):
-                outputs = model.apply({"params": params}, img, train=True)
+                outputs = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats}, img,
+                    train=True,
+                )
                 total, losses = set_criterion(
                     outputs, target, step_rng, crit_cfg, rcl_params, crop_hw=crop_hw
                 )
@@ -232,7 +238,9 @@ class TrainM2FOOD:
         )
         step_fn = self.make_stage1_step(tx)
         state = TrainState(
-            params=self.variables["params"], batch_stats=None, opt_state=opt_state,
+            params=self.variables["params"],
+            batch_stats=self.variables.get("batch_stats"),
+            opt_state=opt_state,
             step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(cfg.train.seed),
         )
         eval_step = self.make_eval_step()
@@ -268,14 +276,18 @@ class TrainM2FOOD:
             if metrics and metrics["AUPRC"] > self.best["AUPRC"]:
                 self.best["AUPRC"] = metrics["AUPRC"]
                 self.ckpt.save("AUPRC_best", params=state.params,
+                               batch_stats=state.batch_stats,
                                opt_state=state.opt_state, epoch=epoch)
                 log.warning("saved best model for AUPRC (%.4f)", metrics["AUPRC"])
 
-        self.variables = {"params": state.params}
+        self.variables = {"params": state.params,
+                          "batch_stats": state.batch_stats}
         return self.best
 
     def valid(self, state: TrainState, val_ds, eval_step) -> Optional[Dict[str, float]]:
         variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
         scores, gts = [], []
         for i in range(len(val_ds)):
             img, target, _ = val_ds[i]

@@ -39,12 +39,24 @@ def torch_adam(lr: float, weight_decay: float = 0.0) -> optax.GradientTransforma
     return optax.chain(*steps)
 
 
+def _freeze_complement(tx: optax.GradientTransformation, mask) -> optax.GradientTransformation:
+    """Apply ``tx`` on masked leaves and force zero updates elsewhere.
+
+    ``optax.masked`` alone passes raw gradients through for unmasked leaves, which
+    would train frozen parameters."""
+    inverted = jax.tree_util.tree_map(lambda m: not m, mask)
+    return optax.chain(
+        optax.masked(tx, mask),
+        optax.masked(optax.set_to_zero(), inverted),
+    )
+
+
 def build_stage_optimizer(
     params, lr: float, weight_decay: float, trainable_names: Sequence[str]
 ) -> Tuple[optax.GradientTransformation, Any]:
     """Adam over the trainable subset only (stage-1/stage-2 DeepLab and stage-1 M2F)."""
     mask = trainable_mask(params, trainable_names)
-    tx = optax.masked(torch_adam(lr, weight_decay), mask)
+    tx = _freeze_complement(torch_adam(lr, weight_decay), mask)
     return tx, tx.init(params)
 
 
@@ -107,7 +119,7 @@ def build_m2f_official_optimizer(
         optax.scale(-base_lr),
     )
     mask = trainable_mask(params, trainable_names)
-    tx = optax.masked(tx, mask)
+    tx = _freeze_complement(tx, mask)
     return tx, tx.init(params)
 
 

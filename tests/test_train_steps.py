@@ -1,0 +1,155 @@
+"""Train-step smoke tests on tiny models (CPU, 8-device mesh) + checkpoint roundtrip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multishiftseg_tpu.losses.criterion import CriterionConfig
+from multishiftseg_tpu.losses.rcl import RCLParams
+from multishiftseg_tpu.models.deeplab import DeepWV3Plus
+from multishiftseg_tpu.models.maskformer import MaskFormer
+from multishiftseg_tpu.train.state import (
+    TrainState, build_m2f_official_optimizer, build_stage_optimizer, trainable_mask,
+)
+
+TINY_TRUNK = dict(
+    trunk_structure=(1, 1, 1, 1, 1, 1),
+    trunk_channels=((8, 8), (8, 8), (16, 16), (16, 16), (8, 16, 32), (16, 32, 64)),
+)
+
+
+def _tiny_deeplab():
+    model = DeepWV3Plus(num_classes=19, **TINY_TRUNK)
+    img = jnp.zeros((2, 64, 64, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, img, train=False)
+    return model, variables
+
+
+def test_trainable_mask_substring_semantics():
+    _, variables = _tiny_deeplab()
+    mask = trainable_mask(variables["params"], ("ood_head",))
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(mask)
+    on = [k for k, v in flat.items() if v]
+    assert all("ood_head" in ".".join(k) for k in on)
+    assert len(on) == 1  # just the ood head conv kernel
+    mask_all = trainable_mask(variables["params"], (".",))
+    assert all(flax.traverse_util.flatten_dict(mask_all).values())
+
+
+def test_deeplab_train_step_updates_only_trainable():
+    from multishiftseg_tpu.train.deeplab_trainer import make_train_step
+
+    model, variables = _tiny_deeplab()
+    tx, opt_state = build_stage_optimizer(
+        variables["params"], lr=1e-2, weight_decay=1e-4, trainable_names=("ood_head",)
+    )
+    rcl = RCLParams(ce_weights=(1.0, 1.0),
+                    inoutaug_contras_margins_tri=(1.0, 1.0, 1.0),
+                    num_pair_samples=256)
+    step = make_train_step(model, tx, rcl)
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(4, 64, 64, 3).astype(np.float32))
+    tgt = jnp.asarray(rng.randint(0, 19, (4, 64, 64)).astype(np.int32))
+    tgt = tgt.at[:, 10:20, 10:20].set(254)
+
+    import flax
+
+    # snapshot before the step: the jitted step donates the state buffers
+    old = {
+        k: np.asarray(v)
+        for k, v in flax.traverse_util.flatten_dict(variables["params"]).items()
+    }
+    old_bs_snap = {
+        k: np.asarray(v)
+        for k, v in flax.traverse_util.flatten_dict(variables["batch_stats"]).items()
+    }
+
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=opt_state, step=jnp.zeros((), jnp.int32),
+                       rng=jax.random.PRNGKey(0))
+    new_state, loss, aux = step(state, img, tgt)
+    assert np.isfinite(float(loss))
+
+    new = flax.traverse_util.flatten_dict(new_state.params)
+    for k in old:
+        changed = not np.allclose(np.asarray(old[k]), np.asarray(new[k]))
+        if "ood_head" in ".".join(k):
+            assert changed, k
+        else:
+            assert not changed, k
+    # BN running stats must still update (reference keeps model.train())
+    new_bs = flax.traverse_util.flatten_dict(new_state.batch_stats)
+    assert any(
+        not np.allclose(old_bs_snap[k], np.asarray(new_bs[k])) for k in old_bs_snap
+    )
+
+
+def _tiny_m2f():
+    model = MaskFormer(num_classes=5, hidden_dim=64, num_queries=8, nheads=4,
+                       dim_feedforward=128, dec_layers=3, mask_dim=64,
+                       transformer_enc_layers=2)
+    img = jnp.zeros((2, 64, 64, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, img, train=False)
+    return model, variables
+
+
+def test_m2f_stage2_step_with_official_loss():
+    from multishiftseg_tpu.losses.criterion import set_criterion
+
+    model, variables = _tiny_m2f()
+    tx, opt_state = build_m2f_official_optimizer(
+        variables["params"], base_lr=1e-3, trainable_names=(".",)
+    )
+    cfg = CriterionConfig(num_classes=5, num_points=64, ood_loss="RCL")
+    rcl = RCLParams(ce_weights=(0.0, 0.0),
+                    inoutaug_contras_margins_tri=(0.7, 0.5, 0.2),
+                    num_pair_samples=256)
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    sem = jnp.asarray(rng.randint(0, 5, (2, 64, 64)).astype(np.int32))
+    sem = sem.at[:, 30:40, 30:40].set(254)
+
+    batch_stats = variables["batch_stats"]
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            out = model.apply({"params": p, "batch_stats": batch_stats}, img,
+                              train=True)
+            total, losses = set_criterion(out, sem, jax.random.PRNGKey(1), cfg, rcl)
+            return total, losses
+
+        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
+        return new_params, new_opt, loss
+
+    new_params, _, loss = step(variables["params"], opt_state)
+    assert np.isfinite(float(loss))
+    import flax
+
+    old = flax.traverse_util.flatten_dict(variables["params"])
+    new = flax.traverse_util.flatten_dict(new_params)
+    n_changed = sum(
+        not np.allclose(np.asarray(old[k]), np.asarray(new[k])) for k in old
+    )
+    assert n_changed > len(old) * 0.5  # most params updated in stage 2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from multishiftseg_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(str(tmp_path))
+    tree = {"params": {"w": np.arange(6.0).reshape(2, 3)}, "epoch": np.int64(7)}
+    ckpt.save("best", **tree)
+    assert ckpt.exists("best")
+    restored = ckpt.restore("best", tree)
+    np.testing.assert_array_equal(restored["params"]["w"], tree["params"]["w"])
+    assert int(restored["epoch"]) == 7
