@@ -23,6 +23,10 @@ import jax
 import jax.numpy as jnp
 
 H, W = 1024, 2048
+# throughput batching: DeepLab gains ~1.6x from batch 4 (conv-tail amortization);
+# the gather-bound M2F is fastest at batch 1 (both measured on v5e).
+_DEFAULT_BATCH = {"m2f": 1, "deeplab": 4}
+BATCH = int(os.environ.get("BENCH_BATCH", "0"))
 WARMUP = 2
 ITERS = 8
 TARGET_IMG_S = 10.0  # 2x estimated A100 reference throughput
@@ -32,7 +36,7 @@ def bench_m2f():
     from multishiftseg_tpu.models.maskformer import MaskFormer, inference
 
     model = MaskFormer(num_classes=19, backbone="resnet50", dtype=jnp.bfloat16)
-    img = jnp.zeros((1, H, W, 3), jnp.float32)
+    img = jnp.zeros((BATCH, H, W, 3), jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 128, 256, 3)), train=False
     )
@@ -50,7 +54,7 @@ def bench_deeplab():
     from multishiftseg_tpu.models.deeplab import DeepWV3Plus
 
     model = DeepWV3Plus(num_classes=19, dtype=jnp.bfloat16)
-    img = jnp.zeros((1, H, W, 3), jnp.float32)
+    img = jnp.zeros((BATCH, H, W, 3), jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 128, 256, 3)), train=False
     )
@@ -65,6 +69,9 @@ def bench_deeplab():
 
 def main():
     which = os.environ.get("BENCH_MODEL", "m2f")
+    global BATCH
+    if not BATCH:
+        BATCH = _DEFAULT_BATCH.get(which, 1)
     name, fwd, variables, img = bench_deeplab() if which == "deeplab" else bench_m2f()
 
     for _ in range(WARMUP):
