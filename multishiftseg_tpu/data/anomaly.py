@@ -15,7 +15,21 @@ from typing import Callable, List, Optional, Tuple
 import numpy as np
 from PIL import Image
 
+from .native_io import decode
 from .transforms import Compose, Sample
+
+
+def _rgb(a: np.ndarray) -> np.ndarray:
+    if a.ndim == 2:
+        return np.repeat(a[..., None], 3, axis=-1)
+    return a[..., :3]
+
+
+def _gray(a: np.ndarray) -> np.ndarray:
+    """L-mode conversion: PIL uses ITU-R 601-2 weights for RGB label files."""
+    if a.ndim == 2:
+        return a.astype(np.uint8)
+    return (a[..., 0] * 299 / 1000 + a[..., 1] * 587 / 1000 + a[..., 2] * 114 / 1000).astype(np.uint8)
 
 
 class _EvalDataset:
@@ -40,8 +54,8 @@ class _EvalDataset:
         return image, target
 
     def __getitem__(self, i: int):
-        image = np.asarray(Image.open(self.images[i]).convert("RGB"))
-        target = np.asarray(Image.open(self.targets[i]).convert("L"), np.uint8)
+        image = _rgb(decode(self.images[i]))
+        target = _gray(decode(self.targets[i]))
         image, target = self._apply(image, target)
         f_name = os.path.splitext(os.path.basename(self.images[i]))[0]
         return image, target, f_name
@@ -109,8 +123,8 @@ class MUAD(_EvalDataset):
         self.targets = [p.replace("leftImg8bit", "leftLabel") for p in self.images]
 
     def __getitem__(self, i):
-        img = np.asarray(Image.open(self.images[i]))
-        gt = np.asarray(Image.open(self.targets[i])).astype(np.int32)
+        img = decode(self.images[i])
+        gt = decode(self.targets[i]).astype(np.int32)
         img, gt = self._apply(img, gt)
         ood_gt = np.zeros_like(gt)
         ood_gt[gt <= 18] = 0
@@ -148,8 +162,8 @@ class ACDC_POC(_EvalDataset):
             )
 
     def __getitem__(self, i):
-        image = np.asarray(Image.open(self.images[i]).convert("RGB"))
-        target = np.asarray(Image.open(self.targets[i]).convert("L")).astype(np.int32)
+        image = _rgb(decode(self.images[i]))
+        target = _gray(decode(self.targets[i])).astype(np.int32)
         image, target = self._apply(image, target)
         ood_gt = np.zeros_like(target)
         ood_gt[target == 0] = 255

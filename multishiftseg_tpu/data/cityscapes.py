@@ -21,6 +21,7 @@ import numpy as np
 from PIL import Image
 
 from .anomaly_mix import mixup_generated, paste_coco_objects
+from .native_io import decode, decode_batch
 from .transforms import Compose, Sample
 
 CityscapesClass = namedtuple(
@@ -158,10 +159,12 @@ class DiverseCityscapes:
         return len(self.images)
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, ...]:
-        image = np.asarray(Image.open(self.images[index]).convert("RGB"))
-        gen_image = np.asarray(Image.open(self.generated_images[index]).convert("RGB"))
-        target = np.asarray(Image.open(self.targets[index]), np.uint8)
-        gen_target = np.asarray(Image.open(self.generated_targets[index]), np.uint8)
+        image, gen_image, target, gen_target = decode_batch([
+            self.images[index], self.generated_images[index],
+            self.targets[index], self.generated_targets[index],
+        ])
+        target = target.astype(np.uint8)
+        gen_target = gen_target.astype(np.uint8)
 
         if self.mixup:
             gen_image = mixup_generated(image, gen_image, self.rng)
