@@ -68,6 +68,14 @@ def host_cpu_mesh(n: int = 8) -> Mesh:
     return make_mesh(devices=cpus[:n])
 
 
+def fit_mesh_to_batch(global_batch: int, num_devices: int = 0) -> Mesh:
+    """Data mesh over the largest device count that divides the global batch."""
+    n = num_devices or len(jax.devices())
+    while n > 1 and global_batch % n != 0:
+        n -= 1
+    return make_mesh(num_devices=n)
+
+
 def default_device_count(requested: int = 0) -> int:
     if requested:
         return requested

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import Config
-from ..core.mesh import DATA_AXIS, data_sharded, make_mesh, replicated
+from ..core.mesh import DATA_AXIS, data_sharded, fit_mesh_to_batch, make_mesh, replicated
 from ..data.anomaly import RoadAnomaly21
 from ..data.cityscapes import DiverseCityscapes
 from ..data.loader import Loader, pad_to_multiple
@@ -83,10 +83,13 @@ def make_eval_step(model: DeepWV3Plus):
 class TrainDeepLabOOD:
     """Two-stage DeepLab OOD fine-tuning driver."""
 
-    def __init__(self, cfg: Config, weight_path: Optional[str] = None):
+    def __init__(self, cfg: Config, weight_path: Optional[str] = None,
+                 model: Optional[DeepWV3Plus] = None):
         self.cfg = cfg
-        self.mesh = make_mesh(cfg.train.num_devices)
-        self.model = DeepWV3Plus(
+        # paired clean||augmented batch is 2x train_batch on the leading axis
+        self.mesh = fit_mesh_to_batch(2 * cfg.train.train_batch,
+                                      cfg.train.num_devices)
+        self.model = model or DeepWV3Plus(
             num_classes=cfg.data.class_num,
             dtype=jnp.bfloat16 if cfg.train.bf16 else None,
         )

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import Config
-from ..core.mesh import data_sharded, make_mesh
+from ..core.mesh import data_sharded, fit_mesh_to_batch, make_mesh
 from ..data.anomaly import RoadAnomaly21
 from ..data.cityscapes import DiverseCityscapes
 from ..data.loader import Loader, pad_to_multiple
@@ -58,7 +58,9 @@ def copy_class_embed_to_ood(params):
 class TrainM2FOOD:
     def __init__(self, cfg: Config, weight_path: Optional[str] = None):
         self.cfg = cfg
-        self.mesh = make_mesh(cfg.train.num_devices)
+        # paired clean||augmented batch is 2x train_batch on the leading axis
+        self.mesh = fit_mesh_to_batch(2 * cfg.train.train_batch,
+                                      cfg.train.num_devices)
         m = cfg.model.m2f
         # loss.params.mask2anomaly_loss_weight overrides the model loss weights
         # (the reference's setup(), train_m2f.py:160-168).
