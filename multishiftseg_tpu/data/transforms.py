@@ -227,6 +227,47 @@ class RandCrop:
         )
 
 
+class RandCropIncludeOOD:
+    """OOD-aware crop (reference img_utils.py:262-312): when the generated mask has
+    anomaly pixels, bias the crop window to partially or fully include them;
+    otherwise fall back to a plain shared random crop."""
+
+    def __init__(self, size: Tuple[int, int], prob: float = 0.5):
+        self.size = size
+        self.prob = prob
+
+    def __call__(self, rng, s: Sample) -> Sample:
+        assert s.gen_mask is not None, "RandCropIncludeOOD needs the generated mask"
+        th, tw = self.size
+        h, w = s.image.shape[:2]
+        if h < th or w < tw:
+            s = s.map_all(
+                lambda x: _resize(x, self.size),
+                lambda m: _resize(m, self.size, nearest=True),
+            )
+            h, w = s.image.shape[:2]
+        anomaly = (s.gen_mask > 100) & (s.gen_mask < 255)
+        ys, xs = np.nonzero(anomaly)
+        if ys.size == 0:
+            top = int(rng.integers(0, h - th + 1))
+            left = int(rng.integers(0, w - tw + 1))
+        else:
+            y_min, y_max = int(ys.min()), int(ys.max())
+            x_min, x_max = int(xs.min()), int(xs.max())
+            if rng.random() < self.prob:  # partially include the OOD object
+                top_lo, top_hi = max(0, y_min - th + 1), min(y_max, h - th)
+                left_lo, left_hi = max(0, x_min - tw + 1), min(x_max, w - tw)
+            else:  # completely include it (assumes crop >= object)
+                top_lo, top_hi = max(0, y_max - th + 1), min(y_min, h - th)
+                left_lo, left_hi = max(0, x_max - tw + 1), min(x_min, w - tw)
+            top = int(rng.integers(top_lo, max(top_lo, top_hi) + 1))
+            left = int(rng.integers(left_lo, max(left_lo, left_hi) + 1))
+        return s.map_all(
+            lambda x: x[top : top + th, left : left + tw],
+            lambda m: m[top : top + th, left : left + tw],
+        )
+
+
 class RandRotate:
     """Shared rotation U(-10, 10) deg; bilinear images, nearest masks
     (reference img_utils.py:315-323)."""

@@ -58,10 +58,39 @@ class BottleneckBlock(nn.Module):
         return nn.relu(out + shortcut)
 
 
+class BasicBlock(nn.Module):
+    """3x3-3x3 residual block for ResNet-18/34 (reference ``Resnet.py``)."""
+
+    out_channels: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        need_proj = x.shape[-1] != self.out_channels or self.stride != 1
+        shortcut = x
+        if need_proj:
+            shortcut = Conv(self.out_channels, (1, 1), strides=(self.stride,) * 2,
+                            dtype=self.dtype, name="shortcut")(x)
+            shortcut = FrozenBN(dtype=self.dtype, name="shortcut_norm")(shortcut)
+        out = Conv(self.out_channels, (3, 3), strides=(self.stride,) * 2,
+                   dilation=(self.dilation,) * 2, dtype=self.dtype, name="conv1")(x)
+        out = nn.relu(FrozenBN(dtype=self.dtype, name="norm1")(out))
+        out = Conv(self.out_channels, (3, 3), dilation=(self.dilation,) * 2,
+                   dtype=self.dtype, name="conv2")(out)
+        out = FrozenBN(dtype=self.dtype, name="norm2")(out)
+        return nn.relu(out + shortcut)
+
+
 RESNET_STAGES = {
+    18: (2, 2, 2, 2),
+    34: (3, 4, 6, 3),
     50: (3, 4, 6, 3),
     101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
 }
+BASIC_BLOCK_DEPTHS = {18, 34}
 
 
 class ResNet(nn.Module):
@@ -86,8 +115,9 @@ class ResNet(nn.Module):
 
         feats = {}
         stages = RESNET_STAGES[self.depth]
+        basic = self.depth in BASIC_BLOCK_DEPTHS
         bottleneck = 64
-        out_channels = 256
+        out_channels = 64 if basic else 256
         for stage_idx, num_blocks in enumerate(stages):
             stride = 1 if stage_idx == 0 else 2
             dilation = 1
@@ -95,14 +125,22 @@ class ResNet(nn.Module):
                 stride = 1
                 dilation = 2 if stage_idx == 2 else 4
             for block_idx in range(num_blocks):
-                x = BottleneckBlock(
-                    bottleneck_channels=bottleneck,
-                    out_channels=out_channels,
-                    stride=stride if block_idx == 0 else 1,
-                    dilation=dilation,
-                    dtype=self.dtype,
-                    name=f"res{stage_idx + 2}_{block_idx}",
-                )(x)
+                block_stride = stride if block_idx == 0 else 1
+                if basic:
+                    x = BasicBlock(
+                        out_channels=out_channels, stride=block_stride,
+                        dilation=dilation, dtype=self.dtype,
+                        name=f"res{stage_idx + 2}_{block_idx}",
+                    )(x)
+                else:
+                    x = BottleneckBlock(
+                        bottleneck_channels=bottleneck,
+                        out_channels=out_channels,
+                        stride=block_stride,
+                        dilation=dilation,
+                        dtype=self.dtype,
+                        name=f"res{stage_idx + 2}_{block_idx}",
+                    )(x)
             feats[f"res{stage_idx + 2}"] = x
             bottleneck *= 2
             out_channels *= 2
