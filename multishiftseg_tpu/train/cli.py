@@ -19,6 +19,9 @@ def main():
     parser.add_argument("--weight_path", default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--run", default="train")
+    parser.add_argument("--start_epoch", type=int, default=0)
+    parser.add_argument("--resume", default=None,
+                        help="checkpoint name to resume from (e.g. AUPRC_best)")
     args = parser.parse_args()
 
     from ..core.config import load_config
@@ -43,7 +46,13 @@ def main():
 
     trainer = Trainer(cfg, weight_path=args.weight_path)
     run_fn = getattr(trainer, args.run)
-    result = run_fn()
+    if args.run == "train":
+        kwargs = {"start_epoch": args.start_epoch}
+        if args.resume and args.model == "deeplab":
+            kwargs["resume"] = args.resume
+        result = run_fn(**kwargs)
+    else:
+        result = run_fn()
     logging.warning("done: %s", result)
 
 

@@ -147,13 +147,24 @@ class TrainDeepLabOOD:
 
     # ---------------- train ----------------
 
-    def train(self):
+    def train(self, start_epoch: int = 0, resume: Optional[str] = None):
         cfg = self.cfg
         train_ds, val_ds = self.build_datasets()
         loader = Loader(
             train_ds, batch_size=cfg.train.train_batch, shuffle=True, drop_last=True,
             num_workers=cfg.data.num_workers, seed=cfg.train.seed,
         )
+
+        if resume and self.ckpt.exists(resume):
+            restored = self.ckpt.restore(resume, {
+                "params": self.variables["params"],
+                "batch_stats": self.variables.get("batch_stats"),
+                "epoch": 0,
+            })
+            self.variables = {"params": restored["params"],
+                              "batch_stats": restored["batch_stats"]}
+            start_epoch = int(restored["epoch"]) + 1
+            log.warning("resumed %s at epoch %d", resume, start_epoch)
 
         tx, opt_state = self._stage_optimizer(0)
         state = TrainState(
@@ -164,9 +175,11 @@ class TrainDeepLabOOD:
             rng=jax.random.PRNGKey(cfg.train.seed),
         )
         train_step = make_train_step(self.model, tx, self.rcl_params)
+        stage = 0
 
-        for epoch in range(cfg.train.n_epochs):
-            if epoch == cfg.train.warmup_epoch:
+        for epoch in range(start_epoch, cfg.train.n_epochs):
+            if stage == 0 and cfg.train.warmup_epoch >= 0 and epoch >= cfg.train.warmup_epoch:
+                stage = 1
                 self.variables = {"params": state.params,
                                   "batch_stats": state.batch_stats}
                 tx, opt_state = self._stage_optimizer(1)

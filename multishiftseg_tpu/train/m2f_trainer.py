@@ -226,7 +226,7 @@ class TrainM2FOOD:
 
     # ---------------- train loop ----------------
 
-    def train(self):
+    def train(self, start_epoch: int = 0):
         cfg = self.cfg
         train_ds, val_ds = self.build_datasets()
         loader = Loader(
@@ -246,9 +246,11 @@ class TrainM2FOOD:
             step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(cfg.train.seed),
         )
         eval_step = self.make_eval_step()
+        stage = 0
 
-        for epoch in range(cfg.train.n_epochs):
-            if epoch == cfg.train.warmup_epoch:
+        for epoch in range(start_epoch, cfg.train.n_epochs):
+            if stage == 0 and cfg.train.warmup_epoch >= 0 and epoch >= cfg.train.warmup_epoch:
+                stage = 1
                 m = cfg.model.m2f
                 tx, opt_state = build_m2f_official_optimizer(
                     state.params, base_lr=m.base_lr, weight_decay=m.weight_decay,
