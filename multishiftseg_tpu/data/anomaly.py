@@ -183,3 +183,38 @@ EVAL_DATASETS = {
     "MUAD": MUAD,
     "ACDC_POC": ACDC_POC,
 }
+
+
+class CityscapesVal(_EvalDataset):
+    """Closed-set Cityscapes val split for mIoU evaluation (the reference's
+    ``hist_info``/``compute_metric`` machinery target, ``lib/utils/metric.py:10-64``).
+
+    Returns (img, ood_gt=zeros, f_name, eval_gt=trainIds) so the shared evaluator's
+    mIoU path applies; OOD metrics are skipped (no positive pixels).
+    """
+
+    def __init__(self, root="./datasets/cityscapes", transform=None):
+        super().__init__(transform)
+        img_dir = os.path.join(root, "leftImg8bit", "val")
+        gt_dir = os.path.join(root, "gtFine", "val")
+        if os.path.isdir(img_dir):
+            for city in sorted(os.listdir(img_dir)):
+                for fname in sorted(os.listdir(os.path.join(img_dir, city))):
+                    if not fname.endswith(".png"):
+                        continue
+                    stem = fname.split("_leftImg8bit")[0]
+                    self.images.append(os.path.join(img_dir, city, fname))
+                    self.targets.append(
+                        os.path.join(gt_dir, city, f"{stem}_gtFine_labelTrainIds.png")
+                    )
+
+    def __getitem__(self, i):
+        image = _rgb(decode(self.images[i]))
+        target = decode(self.targets[i]).astype(np.int32)
+        image, target = self._apply(image, target)
+        ood_gt = np.zeros_like(target)
+        f_name = os.path.splitext(os.path.basename(self.images[i]))[0]
+        return image, ood_gt, f_name, target
+
+
+EVAL_DATASETS["CityscapesVal"] = CityscapesVal

@@ -52,7 +52,9 @@ class OODEvaluator:
         d = self.cfg.data
         return Compose([ToTensor(), Normalize(mean=d.mean, std=d.std)])
 
-    def test(self, name: str) -> Optional[Dict[str, float]]:
+    def test(self, name: str, batch_size: int = 4) -> Optional[Dict[str, float]]:
+        """Evaluate one benchmark, batching images that share a padded bucket
+        (DeepLab gains ~1.6x per-chip throughput from batch 4, PERF.md)."""
         ds_cls = EVAL_DATASETS[name]
         kwargs = {}
         if name in self.roots:
@@ -64,28 +66,44 @@ class OODEvaluator:
         scores: List[np.ndarray] = []
         gts: List[np.ndarray] = []
         hists = []
+
+        # Group indices by padded bucket via a cheap header-only size probe, so
+        # batches share one compiled program without decoding everything up front.
+        from PIL import Image
+
+        buckets: Dict[Tuple[int, int], List[int]] = {}
         for i in range(len(ds)):
-            item = ds[i]
-            img, target = item[0], item[1]
-            eval_gt = item[3] if len(item) > 3 else None
-            h, w = img.shape[:2]
-            bh, bw = bucket_shape(h, w)
-            img_p = np.pad(img, ((0, bh - h), (0, bw - w), (0, 0)))
-            anomaly, sem = self.forward_fn(jnp.asarray(img_p[None]))
-            scores.append(np.asarray(anomaly[0, :h, :w], np.float32).reshape(-1))
-            gts.append(np.asarray(target).reshape(-1))
-            if eval_gt is not None and sem is not None:
-                pred = np.asarray(jnp.argmax(sem[0, :19, :h, :w], axis=0))
-                hists.append(dict(zip(("hist", "labeled", "correct"),
-                                      hist_info(19, pred, np.asarray(eval_gt)))))
+            with Image.open(ds.images[i]) as im:
+                w, h = im.size
+            buckets.setdefault(bucket_shape(h, w), []).append(i)
+
+        for (bh, bw), idxs in buckets.items():
+            for s in range(0, len(idxs), batch_size):
+                chunk = [ds[i] for i in idxs[s : s + batch_size]]
+                imgs = np.zeros((len(chunk), bh, bw, 3), np.float32)
+                for j, item in enumerate(chunk):
+                    img = item[0]
+                    imgs[j, : img.shape[0], : img.shape[1]] = img
+                anomaly, sem = self.forward_fn(jnp.asarray(imgs))
+                anomaly = np.asarray(anomaly, np.float32)
+                for j, item in enumerate(chunk):
+                    h, w = item[0].shape[:2]
+                    target = item[1]
+                    eval_gt = item[3] if len(item) > 3 else None
+                    scores.append(anomaly[j, :h, :w].reshape(-1))
+                    gts.append(np.asarray(target).reshape(-1))
+                    if eval_gt is not None and sem is not None:
+                        pred = np.asarray(jnp.argmax(sem[j, :19, :h, :w], axis=0))
+                        hists.append(dict(zip(("hist", "labeled", "correct"),
+                                              hist_info(19, pred, np.asarray(eval_gt)))))
         res = eval_ood_measure(np.concatenate(scores), np.concatenate(gts))
-        if res is None:
-            return None
-        out = {"AUROC": res[0], "AUPRC": res[1], "FPR_TPR95": res[2]}
+        out = {} if res is None else {
+            "AUROC": res[0], "AUPRC": res[1], "FPR_TPR95": res[2]
+        }
         if hists:
             miou, pacc = compute_metric(hists)
             out.update({"mIoU": miou, "pixel_acc": pacc})
-        return out
+        return out or None
 
     def test_all(self, names=DEFAULT_DATASETS) -> Dict[str, Dict[str, float]]:
         results = {}
@@ -97,10 +115,14 @@ class OODEvaluator:
                 r = None
             if r is not None:
                 results[name] = r
-                log.warning(
-                    "%s: AUROC %.2f AUPRC %.2f FPR95 %.2f", name,
-                    100 * r["AUROC"], 100 * r["AUPRC"], 100 * r["FPR_TPR95"],
-                )
+                if "AUROC" in r:
+                    log.warning(
+                        "%s: AUROC %.2f AUPRC %.2f FPR95 %.2f", name,
+                        100 * r["AUROC"], 100 * r["AUPRC"], 100 * r["FPR_TPR95"],
+                    )
+                if "mIoU" in r:
+                    log.warning("%s: mIoU %.2f pixel_acc %.2f", name,
+                                100 * r["mIoU"], 100 * r["pixel_acc"])
         return results
 
 
@@ -151,6 +173,7 @@ def main():
 
     d = cfg.data
     roots = {
+        "CityscapesVal": d.cityscapes_root,
         "RoadAnomaly": d.road_anomaly_root,
         "RoadAnomaly21": d.anomaly_track_root,
         "RoadObstacle21": d.obstacle_track_root,
