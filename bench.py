@@ -68,7 +68,7 @@ def bench_deeplab():
 
 
 def main():
-    which = os.environ.get("BENCH_MODEL", "m2f")
+    which = os.environ.get("BENCH_MODEL", "deeplab")
     global BATCH
     if not BATCH:
         BATCH = _DEFAULT_BATCH.get(which, 1)

@@ -20,6 +20,7 @@ shapes static.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
@@ -163,8 +164,36 @@ def set_criterion(
     """Compute the weighted total loss + component dict.
 
     The leading batch axis is [clean ‖ augmented]; target slots are train ids 0..K-1
-    with presence masks. ``rng`` drives all point sampling.
+    with presence masks. ``rng`` drives all point sampling. With
+    ``cfg.deep_supervision`` the full match + losses repeat per aux output with
+    ``_{i}``-suffixed keys (reference criterion.py:461-467).
     """
+    total, losses = _single_output_losses(
+        outputs, sem_seg, rng, cfg, rcl_params, crop_hw
+    )
+    if cfg.deep_supervision:
+        for i, aux in enumerate(outputs.get("aux_outputs", [])):
+            aux_rng = jax.random.fold_in(rng, 100 + i)
+            has_ood = "pred_logits_ood" in aux
+            aux_cfg = cfg if has_ood else dataclasses.replace(cfg, ood_loss="margin")
+            t_i, l_i = _single_output_losses(
+                aux, sem_seg, aux_rng, aux_cfg,
+                rcl_params if has_ood or aux_cfg.ood_loss != "RCL" else None,
+                crop_hw,
+            )
+            total = total + t_i
+            losses.update({f"{k}_{i}": v for k, v in l_i.items()})
+    return total, losses
+
+
+def _single_output_losses(
+    outputs: Dict[str, jax.Array],
+    sem_seg: jax.Array,
+    rng: jax.Array,
+    cfg: CriterionConfig,
+    rcl_params: Optional[RCLParams] = None,
+    crop_hw: Optional[Tuple[int, int]] = None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     b = sem_seg.shape[0]
     half = b // 2
     K = cfg.num_classes

@@ -124,3 +124,16 @@ def test_perfect_prediction_has_low_mask_loss(rng):
     # The "clean"-point selection of the augmented half drops boundary points
     # (they have the highest BCE), so this one should be near zero.
     assert float(losses["loss_aug_mask"]) < 0.05
+
+
+def test_deep_supervision_repeats_losses(rng):
+    cfg = CriterionConfig(num_classes=5, num_points=64, ood_loss="RCL",
+                          deep_supervision=True)
+    outputs = _tiny_outputs(rng)
+    outputs["aux_outputs"] = [_tiny_outputs(rng) for _ in range(2)]
+    sem = _tiny_sem(rng)
+    rcl = RCLParams(ce_weights=(0.0, 0.0), inoutaug_contras_margins_tri=(0.7, 0.5, 0.2))
+    total, losses = set_criterion(outputs, sem, jax.random.PRNGKey(0), cfg, rcl)
+    assert "loss_ce_0" in losses and "loss_ce_1" in losses
+    assert "loss_ood_1" in losses
+    assert np.isfinite(float(total))
