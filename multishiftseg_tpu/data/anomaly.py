@@ -13,7 +13,6 @@ import os
 from typing import Callable, List, Optional, Tuple
 
 import numpy as np
-from PIL import Image
 
 from .native_io import decode
 from .transforms import Compose, Sample

@@ -18,7 +18,6 @@ from collections import namedtuple
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
-from PIL import Image
 
 from .anomaly_mix import mixup_generated, paste_coco_objects
 from .native_io import decode, decode_batch

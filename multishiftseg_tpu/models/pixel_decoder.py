@@ -104,8 +104,13 @@ class MSDeformAttnPixelDecoder(nn.Module):
             ref[None, :, None, :], (src.shape[0], ref.shape[0], L, 2)
         )
 
+        # Rematerialize each encoder layer: the gather VJP otherwise saves the
+        # ~[N*M, Lq, P, 2, 2, D] patch tensors of all 6 layers (several GB at training
+        # shapes), which exhausts HBM and faults the device. Recomputing the layer in
+        # the backward trades ~15% encoder FLOPs for bounded memory.
+        layer_cls = nn.remat(DeformableEncoderLayer, static_argnums=(4,))
         for i in range(self.transformer_enc_layers):
-            src = DeformableEncoderLayer(
+            src = layer_cls(
                 d_model=self.conv_dim, n_levels=L, n_heads=self.n_heads,
                 n_points=self.n_points, dtype=self.dtype, name=f"encoder_layer_{i}",
             )(src, pos, ref, shapes)

