@@ -56,7 +56,8 @@ def copy_class_embed_to_ood(params):
 
 
 class TrainM2FOOD:
-    def __init__(self, cfg: Config, weight_path: Optional[str] = None):
+    def __init__(self, cfg: Config, weight_path: Optional[str] = None,
+                 model: Optional[MaskFormer] = None):
         self.cfg = cfg
         # paired clean||augmented batch is 2x train_batch on the leading axis
         self.mesh = fit_mesh_to_batch(2 * cfg.train.train_batch,
@@ -69,7 +70,7 @@ class TrainM2FOOD:
         m.mask_weight = lw.get("mask_weight", m.mask_weight)
         m.dice_weight = lw.get("dice_weight", m.dice_weight)
         m.ood_weight = lw.get("ood_weight", m.ood_weight)
-        self.model = MaskFormer(
+        self.model = model or MaskFormer(
             num_classes=m.num_classes, backbone=m.backbone, hidden_dim=m.hidden_dim,
             num_queries=m.num_queries, nheads=m.nheads,
             dim_feedforward=m.dim_feedforward, dec_layers=m.dec_layers - 1,

@@ -103,3 +103,33 @@ def test_eval_runner_on_synthetic_dataset(fake_data, tmp_path, monkeypatch):
     r = results["RoadAnomaly21"]
     assert set(r) >= {"AUROC", "AUPRC", "FPR_TPR95"}
     assert 0.0 <= r["AUROC"] <= 1.0
+
+
+def test_m2f_two_stage_training_e2e(fake_data, tmp_path, monkeypatch):
+    from multishiftseg_tpu.models.maskformer import MaskFormer
+    from multishiftseg_tpu.train.m2f_trainer import TrainM2FOOD
+
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config("/root/repo/exps/m2f.yaml", exp_id="e2e_m2f")
+    cfg.data.cityscapes_root = fake_data["cityscapes"]
+    cfg.data.generation_root = fake_data["generation"]
+    cfg.data.anomaly_track_root = fake_data["track"]
+    cfg.data.coco_root = str(tmp_path / "nope")
+    cfg.data.crop_size = (64, 64)
+    cfg.train.n_epochs = 2
+    cfg.train.warmup_epoch = 1  # cross stage boundary: RCL path -> official loss
+    cfg.train.train_batch = 2
+    cfg.train.bf16 = False
+    cfg.data.num_workers = 2
+    cfg.model.m2f.train_num_points = 64
+    cfg.loss.params["num_pair_samples"] = 256
+
+    # num_queries must be >= num_classes (the matcher assigns every present class
+    # slot a distinct query, like the reference's 100 >= 19)
+    model = MaskFormer(num_classes=19, hidden_dim=32, num_queries=24, nheads=4,
+                       dim_feedforward=64, dec_layers=3, mask_dim=32,
+                       transformer_enc_layers=1)
+    trainer = TrainM2FOOD(cfg, model=model)
+    best = trainer.train()
+    assert best["AUPRC"] > -1
+    assert trainer.ckpt.exists("AUPRC_best")
