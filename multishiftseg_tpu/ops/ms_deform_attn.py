@@ -7,10 +7,10 @@ The reference implements this as ``MSDeformAttnFunction`` backed by
 pure-PyTorch ``grid_sample`` fallback (``ms_deform_attn_func.py:52-72``).
 
 Here the op is a pure XLA expression: per level, one clamped 2x2-window patch gather
-per sample point + a bf16 weighted reduction (see ``ms_deform_attn_core`` for the
-measured TPU design notes). XLA differentiates it (the scatter-add backward the CUDA
-code hand-writes falls out of the gather VJP), fuses the surrounding projections, and
-batches freely — no ``im2col_step`` staging needed.
+per sample point + a bf16 weighted reduction (see ``_core_forward`` for the measured
+TPU design notes), with a hand-written VJP (``_core_vjp_bwd``) playing the role of the
+reference's six CUDA backward kernels — XLA's derived adjoint is ~50x slower and
+memory-unbounded. No ``im2col_step`` staging is needed under jit.
 
 Layout conventions (differ from the reference's [N, S, M, D] torch layout only in that
 everything stays channels-last):
