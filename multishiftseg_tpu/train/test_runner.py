@@ -31,7 +31,9 @@ from ..evals.seg_metrics import compute_metric, hist_info
 
 log = logging.getLogger(__name__)
 
+# reference defaults: test_deeplab iterates {RoadAnomaly, RA21, RO21}; test_m2f adds MUAD
 DEFAULT_DATASETS = ("RoadAnomaly", "RoadAnomaly21", "RoadObstacle21")
+DEFAULT_DATASETS_M2F = DEFAULT_DATASETS + ("MUAD",)
 
 
 def bucket_shape(h: int, w: int, multiple: int = 128) -> Tuple[int, int]:
@@ -181,7 +183,8 @@ def main():
         "ACDC_POC": d.acdc_root,
     }
     ev = OODEvaluator(cfg, fwd, roots)
-    names = (args.test_dataset,) if args.test_dataset else DEFAULT_DATASETS
+    default_names = DEFAULT_DATASETS if args.model == "deeplab" else DEFAULT_DATASETS_M2F
+    names = (args.test_dataset,) if args.test_dataset else default_names
     results = ev.test_all(names)
     print(results)
 
