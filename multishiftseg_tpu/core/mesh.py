@@ -36,6 +36,12 @@ def make_mesh(
     """
     devs = list(devices if devices is not None else jax.devices())
     if num_devices:
+        if len(devs) < num_devices:
+            raise ValueError(
+                f"make_mesh(num_devices={num_devices}) but only {len(devs)} devices "
+                f"available ({[d.platform for d in devs]}); refusing to silently "
+                f"truncate — a smaller mesh would not test the requested sharding"
+            )
         devs = devs[:num_devices]
     n = len(devs)
     if n % model_parallel != 0:
