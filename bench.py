@@ -67,11 +67,9 @@ def bench_deeplab():
     return "deeplab_wrn38_eval_1024x2048", fwd, variables, img
 
 
-def main():
-    which = os.environ.get("BENCH_MODEL", "deeplab")
+def run_one(which):
     global BATCH
-    if not BATCH:
-        BATCH = _DEFAULT_BATCH.get(which, 1)
+    BATCH = int(os.environ.get("BENCH_BATCH", "0")) or _DEFAULT_BATCH.get(which, 1)
     name, fwd, variables, img = bench_deeplab() if which == "deeplab" else bench_m2f()
 
     for _ in range(WARMUP):
@@ -91,12 +89,23 @@ def main():
     dt = max(time.perf_counter() - t0 - sync_overhead, 1e-9)
     img_per_s = ITERS * img.shape[0] / dt
 
-    print(json.dumps({
+    return {
         "metric": f"{name}_images_per_sec_per_chip",
         "value": round(img_per_s, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_s / TARGET_IMG_S, 3),
-    }))
+    }
+
+
+def main():
+    # The flagship model (the one __graft_entry__.entry() declares) is Mask2Former;
+    # its line is THE stdout JSON line. The DeepLab number goes to stderr as a
+    # secondary diagnostic so the driver's one-line contract stays intact.
+    which = os.environ.get("BENCH_MODEL", "m2f")
+    if which == "both":
+        print(json.dumps(run_one("deeplab")), file=sys.stderr)
+        which = "m2f"
+    print(json.dumps(run_one(which)))
 
 
 if __name__ == "__main__":

@@ -65,10 +65,16 @@ def _core_forward(
     Matches ``grid_sample(mode='bilinear', padding_mode='zeros', align_corners=False)``
     per level: sample x = loc_x * W - 0.5 in pixel space, OOB corners contribute 0.
 
-    TPU design notes (measured on v5e at 1024x2048 eval shapes):
-      * gather cost is per-index (~10 ns): a 2x2xD patch gather per sample point is
-        ~2.5x faster than four [1, D] row gathers, and ~25x faster than the
-        element-broadcast ``take_along_axis`` form;
+    TPU design notes (measured on v5e at 1024x2048 eval shapes;
+    ``tools/gather_microbench.py``):
+      * XLA:TPU gather cost is per-index; the fastest measured geometry is a FLAT 1-D
+        row gather (no ``operand_batching_dims``, no 2-D ``start_index_map``) of
+        [1, 4*D]-wide rows: 2.7 ns/index vs 20.5 ns/index for a (2,2,D) window gather
+        with batching dims (7.6x), at identical bytes per slice.
+      * So each level's map is first im2col'd into a ``[N*M*H*W, 4*D]`` table whose
+        row (i, j) holds the 2x2 bilinear window ``[v(i,j), v(i,j+1), v(i+1,j),
+        v(i+1,j+1)]`` (four shifted copies — dense data-formatting, ~0.3 ms/level),
+        then ONE flat row per sample point is gathered.
       * the weighted reduction multiplies in bf16 and accumulates in fp32 — an fp32
         patch upcast doubles the traffic, and an einsum becomes a batched 1x16 x 16xD
         matmul wasting >99% of the 128x128 MXU.
@@ -90,34 +96,44 @@ def _core_forward(
         .reshape(n * m, lq, L, P)
     )
 
+    # Block-expander / block-sum constants for the row-form weighted reduction:
+    # E[c, c*D+d] = 1 broadcasts corner weight c over its D-lane block;
+    # BS[c*D+d, d] = 1 sums the four weighted corner blocks back to D lanes.
+    E = jnp.asarray(np.repeat(np.eye(4), d, axis=1), compute_dtype)  # [4, 4D]
+    BS = jnp.asarray(np.tile(np.eye(d), (4, 1)), compute_dtype)      # [4D, D]
+
     out = jnp.zeros((n * m, lq, d), jnp.float32)
     start = 0
     for lid, (h, w) in enumerate(spatial_shapes):
         x = loc_m[:, :, lid, :, 0] * w - 0.5  # [N*M, Lq, P]
         y = loc_m[:, :, lid, :, 1] * h - 0.5
-        # Clamped 2x2-window start: one gathered patch covers all 4 bilinear corners,
-        # quartering the index count (TPU gather cost is per-index, measured ~8-14 ns).
+        # Clamped 2x2-window start: one gathered im2col row covers all 4 bilinear
+        # corners, quartering the index count.
         sy = jnp.clip(jnp.floor(y), 0, h - 2).astype(jnp.int32)
         sx = jnp.clip(jnp.floor(x), 0, w - 2).astype(jnp.int32)
-        patches = _window_gather(
-            v[:, start : start + h * w].reshape(n * m, h, w, d), sy, sx
-        )  # [N*M, Lq, P, 2, 2, D]
-        # Patch-position weights reproduce grid_sample zero-padding exactly:
-        # position (i, j) at absolute (sy+i, sx+j) gets relu(1-|y-(sy+i)|) etc.;
-        # OOB sample positions are >1 away from every in-window position -> weight 0.
+        vl = v[:, start : start + h * w].reshape(n * m, h, w, d)
+        rows = _flat_row_gather(
+            _im2col_table(vl), _window_index(sy, sx, h, w).reshape(-1)
+        )  # [N*M*Lq*P, 4D] — corner-major bilinear windows
+        # Corner weights reproduce grid_sample zero-padding exactly: corner (i, j) at
+        # absolute (sy+i, sx+j) gets relu(1-|y-(sy+i)|)*relu(1-|x-(sx+j)|); OOB sample
+        # positions are >1 away from every in-window corner -> weight 0.
         pos = jnp.arange(2, dtype=jnp.float32)
         wy = jax.nn.relu(1.0 - jnp.abs(y[..., None] - (sy[..., None] + pos)))
         wx = jax.nn.relu(1.0 - jnp.abs(x[..., None] - (sx[..., None] + pos)))
-        wgt = (
-            wy[..., :, None] * wx[..., None, :] * attn_m[:, :, lid, :, None, None]
-        )  # [N*M, Lq, P, 2, 2]
-        # bf16 product with fp32 accumulation: a fp32 upcast of the patches would
-        # add ~700 MB of traffic per level at eval shapes (measured 2x cost).
-        out = out + jnp.sum(
-            wgt.astype(compute_dtype)[..., None] * patches,
-            axis=(2, 3, 4),
-            dtype=jnp.float32,
-        )
+        w4 = (
+            wy[..., :, None] * wx[..., None, :]
+        ).reshape(n * m, lq, P, 4) * attn_m[:, :, lid, :, None]
+        # Row-form reduction: everything stays [rows, 4D]-shaped (128 lanes at D=32)
+        # — a (2,2,D)-shaped patch tensor forces padded-tile relayouts that cost more
+        # than the gathers themselves (measured 14.1 -> 5.6 ms/level on v5e;
+        # tools/reduce_microbench.py). The block-sum matmul accumulates in fp32.
+        wexp = w4.reshape(n * m * lq * P, 4).astype(compute_dtype) @ E  # [R, 4D]
+        part = jax.lax.dot_general(
+            rows * wexp, BS, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, D]
+        out = out + part.reshape(n * m, lq, P, d).sum(2)
         start += h * w
     return (
         out.reshape(n, m, lq, d).transpose(0, 2, 1, 3).reshape(n, lq, m * d)
@@ -129,12 +145,31 @@ def _core_vjp_fwd(spatial_shapes, value, sampling_locations, attention_weights):
     return out, (value, sampling_locations, attention_weights)
 
 
+def _col2im(dcol: jax.Array, h: int, w: int) -> jax.Array:
+    """Adjoint of ``_im2col_table``: fold [B, H, W, 4, D] corner grads back onto the
+    map with four dense shifted adds (no scatter). Corner c = (cy, cx) rooted at
+    (i, j) contributes to value position (i+cy, j+cx)."""
+    b, _, _, _, d = dcol.shape
+    z_l = jnp.zeros((b, h, 1, d), dcol.dtype)
+    z_t = jnp.zeros((b, 1, w, d), dcol.dtype)
+    out = dcol[:, :, :, 0]
+    out = out + jnp.concatenate([z_l, dcol[:, :, :-1, 1]], axis=2)
+    out = out + jnp.concatenate([z_t, dcol[:, :-1, :, 2]], axis=1)
+    sxy = jnp.concatenate([z_l, dcol[:, :, :-1, 3]], axis=2)
+    out = out + jnp.concatenate([z_t, sxy[:, :-1]], axis=1)
+    return out
+
+
 def _core_vjp_bwd(spatial_shapes, residuals, g):
-    """Hand-written adjoint: regather patches (gathers are fast), compute the
-    attention/location grads with dense algebra, and scatter the value grad as
-    vmapped row adds (the reference hand-writes six CUDA kernels for this,
-    ``ms_deform_im2col_cuda.cuh:306-927``; XLA's derived scatter is ~100x slower
-    than this formulation on TPU)."""
+    """Hand-written adjoint (the reference hand-writes six CUDA kernels for this,
+    ``ms_deform_im2col_cuda.cuh:306-927``; XLA's derived scatter is ~100x slower).
+
+    Same im2col geometry as the forward: regather rows (2.7 ns/index), compute the
+    attention/location grads with dense algebra, and scatter ONE [1, 4D] corner-grad
+    row per sample point into an im2col grad table, folded back with four dense
+    shifted adds (``_col2im``). TPU scatter cost is per-index and flat in row width
+    (measured 15.2 ns/idx at [1,128] vs 16.4 at [1,32]), so one wide row beats the
+    four narrow corner rows it replaces by ~4.3x."""
     value, sampling_locations, attention_weights = residuals
     n, s, m, d = value.shape
     _, lq, _, L, P, _ = sampling_locations.shape
@@ -154,10 +189,14 @@ def _core_vjp_bwd(spatial_shapes, residuals, g):
         .reshape(n * m, lq, d)
     )
 
-    dv = jnp.zeros((n * m, s, d), jnp.float32)
+    # Row-form constants (see _core_forward): E broadcasts corner weights over
+    # D-lane blocks; ET sums each D-lane block back to one scalar per corner.
+    E = jnp.asarray(np.repeat(np.eye(4), d, axis=1), jnp.float32)  # [4, 4D]
+    ET = E.T  # [4D, 4]
+
+    dv_levels = []
     dattn_l = []
     dloc_l = []
-    ii = jnp.arange(2)
     pos = jnp.arange(2, dtype=jnp.float32)
     start = 0
     for lid, (h, w) in enumerate(spatial_shapes):
@@ -165,9 +204,10 @@ def _core_vjp_bwd(spatial_shapes, residuals, g):
         y = loc_m[:, :, lid, :, 1] * h - 0.5
         sy = jnp.clip(jnp.floor(y), 0, h - 2).astype(jnp.int32)
         sx = jnp.clip(jnp.floor(x), 0, w - 2).astype(jnp.int32)
-        patches = _window_gather(
-            v[:, start : start + h * w].reshape(n * m, h, w, d), sy, sx
-        ).astype(jnp.float32)  # [nm, lq, P, 2, 2, D]
+        vl = v[:, start : start + h * w].reshape(n * m, h, w, d)
+        rows = _flat_row_gather(
+            _im2col_table(vl), _window_index(sy, sx, h, w).reshape(-1)
+        ).astype(jnp.float32)  # [R, 4D] corner-major windows
 
         ddy = y[..., None] - (sy[..., None] + pos)  # [nm, lq, P, 2]
         ddx = x[..., None] - (sx[..., None] + pos)
@@ -176,7 +216,14 @@ def _core_vjp_bwd(spatial_shapes, residuals, g):
         gwy = jnp.where(jnp.abs(ddy) < 1.0, -jnp.sign(ddy), 0.0)
         gwx = jnp.where(jnp.abs(ddx) < 1.0, -jnp.sign(ddx), 0.0)
 
-        inner = jnp.einsum("bqpijd,bqd->bqpij", patches, gq)  # <patch_ij, g>
+        # <corner_c, g> per sample point, in row form: tile g over the four corner
+        # blocks, multiply, block-sum — no (2,2,D) patch tensor is materialized.
+        gqt = jnp.tile(gq, (1, 1, 4))  # [nm, lq, 4D]
+        prod = rows.reshape(n * m, lq, P, 4 * d) * gqt[:, :, None, :]
+        inner = jax.lax.dot_general(
+            prod.reshape(n * m * lq * P, 4 * d), ET, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(n * m, lq, P, 2, 2)
         a = attn_m[:, :, lid]  # [nm, lq, P]
 
         dattn_l.append(jnp.einsum("bqpij,bqpi,bqpj->bqp", inner, wy, wx))
@@ -184,20 +231,26 @@ def _core_vjp_bwd(spatial_shapes, residuals, g):
         dx = a * jnp.einsum("bqpij,bqpi,bqpj->bqp", inner, wy, gwx) * w
         dloc_l.append(jnp.stack([dx, dy], -1))  # (x, y) order
 
-        wgt = wy[..., :, None] * wx[..., None, :] * a[..., None, None]
-        rows = (wgt[..., None] * gq[:, :, None, None, None, :]).reshape(
-            n * m, lq * P * 4, d
+        # one [4*D] im2col grad row per sample point: wgt_c * g, corner-major
+        w4 = (wy[..., :, None] * wx[..., None, :]).reshape(n * m, lq, P, 4) * a[
+            ..., None
+        ]
+        rows_g = (
+            (w4.reshape(n * m * lq * P, 4) @ E).reshape(n * m, lq, P, 4 * d)
+            * gqt[:, :, None, :]
+        ).reshape(n * m * lq * P, 4 * d)
+        lin = _window_index(sy, sx, h, w).reshape(-1)
+        dcol = jnp.zeros((n * m * h * w, 4 * d), jnp.float32).at[lin].add(rows_g)
+        dv_levels.append(
+            _col2im(dcol.reshape(n * m, h, w, 4, d), h, w).reshape(n * m, h * w, d)
         )
-        idx = (
-            (sy[..., None, None] + ii[:, None]) * w
-            + (sx[..., None, None] + ii[None, :])
-            + start
-        ).reshape(n * m, lq * P * 4)
-        dv = jax.vmap(lambda acc, i_, r_: acc.at[i_].add(r_))(dv, idx, rows)
         start += h * w
 
     dvalue = (
-        dv.reshape(n, m, s, d).transpose(0, 2, 1, 3).astype(value.dtype)
+        jnp.concatenate(dv_levels, axis=1)
+        .reshape(n, m, s, d)
+        .transpose(0, 2, 1, 3)
+        .astype(value.dtype)
     )
     dattn = (
         jnp.stack(dattn_l, 2)  # [nm, lq, L, P]
@@ -217,28 +270,44 @@ def _core_vjp_bwd(spatial_shapes, residuals, g):
 _ms_deform_attn_core_vjp.defvjp(_core_vjp_fwd, _core_vjp_bwd)
 
 
-def _window_gather(img: jax.Array, sy: jax.Array, sx: jax.Array) -> jax.Array:
-    """Gather 2x2xD windows at integer starts. img [B, H, W, D]; sy/sx [B, ...].
+def _im2col_table(img: jax.Array) -> jax.Array:
+    """[B, H, W, D] -> [B*H*W, 4D] table; row (i, j) = the 2x2 window rooted there:
+    ``[v(i,j), v(i,j+1), v(i+1,j), v(i+1,j+1)]`` (zeros past the bottom/right edge —
+    never addressed, window starts are clamped to [0, H-2] x [0, W-2])."""
+    b, h, w, d = img.shape
+    z_r = jnp.zeros((b, h, 1, d), img.dtype)
+    z_b = jnp.zeros((b, 1, w, d), img.dtype)
+    sx = jnp.concatenate([img[:, :, 1:], z_r], axis=2)          # v(i, j+1)
+    sy = jnp.concatenate([img[:, 1:], z_b], axis=1)             # v(i+1, j)
+    sxy = jnp.concatenate([sx[:, 1:], z_b], axis=1)             # v(i+1, j+1)
+    tab = jnp.concatenate([img, sx, sy, sxy], axis=-1)          # [B, H, W, 4D]
+    return tab.reshape(b * h * w, 4 * d)
 
-    One gather index per sample point instead of four row gathers — XLA:TPU gather
-    cost is dominated by index count, so patch slices are ~2.5x faster (measured).
-    """
-    b = img.shape[0]
-    d = img.shape[-1]
-    batch_shape = sy.shape
-    starts = jnp.stack([sy, sx], -1).reshape(b, -1, 2)
+
+def _flat_row_gather(tab: jax.Array, lin: jax.Array) -> jax.Array:
+    """Gather [1, R] rows from a flat [T, R] table at int32 indices ``lin`` [...].
+
+    The flat 1-D geometry (no operand_batching_dims, 1-D start_index_map) issues at
+    ~2.7 ns/index on v5e vs ~20 ns/index for the equivalent 2-D window gather with
+    batching dims (tools/gather_microbench.py)."""
     dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(2, 3, 4),
-        collapsed_slice_dims=(),
-        start_index_map=(1, 2),
-        operand_batching_dims=(0,),
-        start_indices_batching_dims=(0,),
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,),
     )
-    patches = jax.lax.gather(
-        img, starts, dimension_numbers=dnums, slice_sizes=(1, 2, 2, d),
+    rows = jax.lax.gather(
+        tab, lin.reshape(-1, 1), dimension_numbers=dnums,
+        slice_sizes=(1, tab.shape[-1]),
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    )  # [B, Q, 2, 2, D]
-    return patches.reshape(*batch_shape, 2, 2, d)
+    )
+    return rows.reshape(*lin.shape, tab.shape[-1])
+
+
+def _window_index(sy: jax.Array, sx: jax.Array, h: int, w: int) -> jax.Array:
+    """Flat im2col row index with the batch folded in: b*H*W + sy*W + sx."""
+    b = sy.shape[0]
+    boff = (jnp.arange(b, dtype=jnp.int32) * (h * w)).reshape(
+        (b,) + (1,) * (sy.ndim - 1)
+    )
+    return boff + sy * w + sx
 
 
 def _sampling_offsets_bias_init(n_heads: int, n_levels: int, n_points: int) -> np.ndarray:

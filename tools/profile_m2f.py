@@ -1,0 +1,93 @@
+"""Device-trace breakdown of the M2F eval forward at 1024x2048 (batch 1, bf16).
+
+Writes a per-category table (gather / conv / matmul / scatter / other fusions) from
+the jax.profiler device trace — the evidence base for PERF.md's gather-wall numbers.
+
+Usage: python tools/profile_m2f.py [out_dir]
+"""
+
+import glob
+import gzip
+import json
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def run_traced(trace_dir: str, fwd, *args, iters: int = 3):
+    # warmup / compile
+    jax.block_until_ready(fwd(*args))
+    with jax.profiler.trace(trace_dir):
+        x = None
+        for _ in range(iters):
+            x = fwd(*args)
+        jax.block_until_ready(x)
+        float(jnp.mean(x[1] if isinstance(x, tuple) else x))
+
+
+def parse_trace(trace_dir: str, iters: int):
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    assert files, f"no trace under {trace_dir}"
+    with gzip.open(sorted(files)[-1], "rt") as f:
+        tr = json.load(f)
+    events = tr["traceEvents"]
+    # device pids: process_name metadata containing "TPU" / "Device"
+    dev_pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            name = e["args"].get("name", "")
+            if "TPU" in name or "/device:" in name or "Device" in name:
+                dev_pids.add(e["pid"])
+    busy = defaultdict(float)
+    names = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "")
+        args = e.get("args", {})
+        cat = args.get("hlo_category", "")
+        dur = e.get("dur", 0) / 1e3  # us -> ms
+        if not cat and not name.startswith("fusion"):
+            continue
+        total += dur
+        busy[cat or "uncategorized"] += dur
+        names[f"{cat}::{name.split('.')[0]}"] += dur
+    per_iter = total / iters
+    print(f"\ndevice busy total: {total:.1f} ms over {iters} iters -> {per_iter:.1f} ms/iter")
+    print("\nby hlo_category (ms/iter):")
+    for k, v in sorted(busy.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:40s} {v / iters:9.2f}")
+    print("\ntop ops (ms/iter):")
+    for k, v in sorted(names.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"  {k:70s} {v / iters:9.2f}")
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/m2f_trace"
+    from multishiftseg_tpu.models.maskformer import MaskFormer, inference
+
+    model = MaskFormer(num_classes=19, backbone="resnet50", dtype=jnp.bfloat16)
+    img = jnp.zeros((1, 1024, 2048, 3), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 128, 256, 3)), train=False
+    )
+
+    @jax.jit
+    def fwd(variables, img):
+        outputs = model.apply(variables, img, train=False)
+        sem, anomaly = inference(outputs, img.shape[1:3])
+        return anomaly
+
+    iters = 3
+    run_traced(out, fwd, variables, img, iters=iters)
+    parse_trace(out, iters)
+
+
+if __name__ == "__main__":
+    main()
