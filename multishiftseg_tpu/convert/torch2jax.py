@@ -147,9 +147,10 @@ def convert_maskformer(state_dict, dec_layers: int = 9) -> Dict:
             sd[k.replace("static_query", "query_feat")] = sd.pop(k)
     tb = TreeBuilder()
 
-    # ---- backbone (d2 ResNet) ----
-    tb.conv(("backbone", "stem_conv1"), sd["backbone.stem.conv1.weight"])
-    tb.bn(("backbone", "stem_norm1"), *_bn_group(sd, "backbone.stem.conv1.norm"))
+    # ---- backbone (d2 ResNet; optional for head-only state dicts) ----
+    if "backbone.stem.conv1.weight" in sd:
+        tb.conv(("backbone", "stem_conv1"), sd["backbone.stem.conv1.weight"])
+        tb.bn(("backbone", "stem_norm1"), *_bn_group(sd, "backbone.stem.conv1.norm"))
     res_re = re.compile(r"^backbone\.res(\d)\.(\d+)\.")
     seen = set()
     for key in sd:

@@ -11,6 +11,7 @@ higher score = more anomalous.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -112,6 +113,105 @@ def eval_ood_measure(
 # ---------------------------------------------------------------------------
 
 
+def metrics_from_histograms(
+    pos_hist: jax.Array, neg_hist: jax.Array, recall_level: float = 0.95
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(AUROC, AUPRC, FPR@recall) from descending-score-ordered count histograms.
+
+    ``pos_hist[i]`` / ``neg_hist[i]`` count OOD / in-distribution pixels whose score
+    fell in bin i (bin 0 = lowest score). Shared by ``binned_ood_metrics`` and the
+    streaming ``BinnedOODMeter``.
+    """
+    tps = jnp.cumsum(pos_hist[::-1])
+    fps = jnp.cumsum(neg_hist[::-1])
+    p_total = jnp.maximum(tps[-1], 1.0)
+    n_total = jnp.maximum(fps[-1], 1.0)
+    tpr = jnp.concatenate([jnp.zeros(1, tps.dtype), tps]) / p_total
+    fpr = jnp.concatenate([jnp.zeros(1, fps.dtype), fps]) / n_total
+    auroc_v = jnp.trapezoid(tpr, fpr)
+    precision = tps / jnp.maximum(tps + fps, 1.0)
+    recall = tps / p_total
+    recall_prev = jnp.concatenate([jnp.zeros(1, recall.dtype), recall[:-1]])
+    ap = jnp.sum((recall - recall_prev) * precision)
+    reach = recall >= recall_level
+    idx = jnp.argmax(reach)  # first True (0 if none; guarded below)
+    fpr95 = jnp.where(jnp.any(reach), fps[idx] / n_total, jnp.float32(1.0))
+    return auroc_v, ap, fpr95
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins",))
+def _hist_update(pos_hist, neg_hist, scores, labels, lo, hi, num_bins: int):
+    scores = scores.reshape(-1).astype(jnp.float32)
+    labels = labels.reshape(-1)
+    span = jnp.maximum(hi - lo, 1e-12)
+    bins = jnp.clip(((scores - lo) / span * num_bins).astype(jnp.int32), 0, num_bins - 1)
+    pos = (labels == 1).astype(pos_hist.dtype)
+    neg = (labels == 0).astype(neg_hist.dtype)
+    return pos_hist.at[bins].add(pos), neg_hist.at[bins].add(neg)
+
+
+@jax.jit
+def _masked_min_max(scores, labels):
+    scores = scores.reshape(-1).astype(jnp.float32)
+    labels = labels.reshape(-1)
+    valid = (labels == 0) | (labels == 1)
+    lo = jnp.where(valid, scores, jnp.inf).min()
+    hi = jnp.where(valid, scores, -jnp.inf).max()
+    return lo, hi
+
+
+class BinnedOODMeter:
+    """Streaming on-device (AUROC, AUPRC, FPR@95) over many variable-size score maps.
+
+    Replaces the per-epoch host round-trip of full-resolution score maps through
+    numpy/sklearn (the CPU hot spot of the reference's ``eval_ood_measure`` on
+    N x 2048 x 1024 pixels, ``lib/utils/metric.py:170-181``, SURVEY §3.1): ``update``
+    keeps scores/labels on device; ``compute`` does a two-pass (global range, then
+    histogram accumulation) entirely on device and transfers only 3 scalars.
+
+    Accuracy is O(score_range / num_bins) — use for in-training validation; keep
+    ``eval_ood_measure`` for final reported numbers.
+    """
+
+    def __init__(self, num_bins: int = 8192, recall_level: float = 0.95):
+        self.num_bins = num_bins
+        self.recall_level = recall_level
+        self._scores: list = []
+        self._labels: list = []
+
+    def update(self, scores: jax.Array, labels) -> None:
+        """scores: [...] device array; labels: [...] int (1=OOD, 0=in, other=void)."""
+        self._scores.append(scores.reshape(-1))
+        self._labels.append(jnp.asarray(np.asarray(labels).reshape(-1), jnp.int32))
+
+    def compute(self) -> Optional[Tuple[float, float, float]]:
+        if not self._scores:
+            return None
+        lo = jnp.inf
+        hi = -jnp.inf
+        for s, l in zip(self._scores, self._labels):
+            lo_i, hi_i = _masked_min_max(s, l)
+            lo = jnp.minimum(lo, lo_i)
+            hi = jnp.maximum(hi, hi_i)
+        if not (np.isfinite(float(lo)) and np.isfinite(float(hi))):
+            return None
+        pos_hist = jnp.zeros(self.num_bins, jnp.float32)
+        neg_hist = jnp.zeros(self.num_bins, jnp.float32)
+        for s, l in zip(self._scores, self._labels):
+            pos_hist, neg_hist = _hist_update(
+                pos_hist, neg_hist, s, l, lo, hi, self.num_bins
+            )
+        n_pos, n_neg = float(pos_hist.sum()), float(neg_hist.sum())
+        if n_pos == 0 or n_neg == 0:
+            return None
+        auroc_v, ap, fpr95 = metrics_from_histograms(
+            pos_hist, neg_hist, self.recall_level
+        )
+        self._scores.clear()
+        self._labels.clear()
+        return float(auroc_v), float(ap), float(fpr95)
+
+
 def binned_ood_metrics(
     scores: jax.Array,
     labels: jax.Array,
@@ -141,20 +241,4 @@ def binned_ood_metrics(
     neg_hist = jnp.zeros_like(pos_hist)
     pos_hist = pos_hist.at[bins].add(pos.astype(pos_hist.dtype))
     neg_hist = neg_hist.at[bins].add(neg.astype(neg_hist.dtype))
-    # Descending-threshold cumulative counts (high score bin first).
-    tps = jnp.cumsum(pos_hist[::-1])
-    fps = jnp.cumsum(neg_hist[::-1])
-    p_total = jnp.maximum(tps[-1], 1.0)
-    n_total = jnp.maximum(fps[-1], 1.0)
-    tpr = jnp.concatenate([jnp.zeros(1, tps.dtype), tps]) / p_total
-    fpr = jnp.concatenate([jnp.zeros(1, fps.dtype), fps]) / n_total
-    auroc_v = jnp.trapezoid(tpr, fpr)
-    precision = tps / jnp.maximum(tps + fps, 1.0)
-    recall = tps / p_total
-    recall_prev = jnp.concatenate([jnp.zeros(1, recall.dtype), recall[:-1]])
-    ap = jnp.sum((recall - recall_prev) * precision)
-    # FPR at first threshold reaching the recall level.
-    reach = recall >= recall_level
-    idx = jnp.argmax(reach)  # first True (0 if none; guarded below)
-    fpr95 = jnp.where(jnp.any(reach), fps[idx] / n_total, jnp.float32(1.0))
-    return auroc_v, ap, fpr95
+    return metrics_from_histograms(pos_hist, neg_hist, recall_level)

@@ -33,12 +33,18 @@ class CheckpointManager:
         return path
 
     def restore(self, name: str, template: Optional[Dict[str, Any]] = None):
+        """Restore a checkpoint; a template may cover only a subset of the saved
+        top-level entries (e.g. params + epoch without opt_state — resume does not
+        need the optimizer state of a *best-metric* checkpoint)."""
         import orbax.checkpoint as ocp
 
-        ckptr = ocp.StandardCheckpointer()
-        if template is not None:
-            template = jax.tree_util.tree_map(np.asarray, template)
-        return ckptr.restore(self._path(name), template)
+        restored = ocp.StandardCheckpointer().restore(self._path(name))
+        if template is None:
+            return restored
+        missing = [k for k in template if k not in restored]
+        if missing:
+            raise KeyError(f"checkpoint {name} lacks entries {missing}")
+        return {k: restored[k] for k in template}
 
     def exists(self, name: str) -> bool:
         return os.path.isdir(self._path(name))

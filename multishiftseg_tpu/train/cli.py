@@ -48,7 +48,7 @@ def main():
     run_fn = getattr(trainer, args.run)
     if args.run == "train":
         kwargs = {"start_epoch": args.start_epoch}
-        if args.resume and args.model == "deeplab":
+        if args.resume:
             kwargs["resume"] = args.resume
         result = run_fn(**kwargs)
     else:

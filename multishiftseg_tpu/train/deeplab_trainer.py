@@ -29,7 +29,7 @@ from ..data.anomaly import RoadAnomaly21
 from ..data.cityscapes import DiverseCityscapes
 from ..data.loader import Loader, pad_to_multiple
 from ..data.transforms import Compose, Normalize, RandCrop, ToTensor
-from ..evals.ood_metrics import eval_ood_measure
+from ..evals.ood_metrics import BinnedOODMeter
 from ..losses.rcl import RCLParams, make_rcl_params, rel_contrastive_loss
 from ..models.deeplab import DeepWV3Plus, init_ood_head_from_final
 from .checkpoint import CheckpointManager
@@ -218,15 +218,17 @@ class TrainDeepLabOOD:
     # ---------------- eval ----------------
 
     def valid(self, state: TrainState, val_ds) -> Optional[Dict[str, float]]:
+        """Per-epoch validation with on-device binned metrics: score maps never
+        round-trip through host numpy (the reference's sklearn hot spot,
+        ``lib/utils/metric.py:170-181``); only 3 scalars cross the host boundary."""
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        scores, gts = [], []
+        meter = BinnedOODMeter()
         for i in range(len(val_ds)):
             img, target, _ = val_ds[i]
             img_p, (h, w) = pad_to_multiple(img, 32)
             score, _ = self.eval_step(variables, jnp.asarray(img_p[None]))
-            scores.append(np.asarray(score[0, :h, :w], np.float32))
-            gts.append(np.asarray(target))
-        res = eval_ood_measure(np.stack(scores), np.stack(gts))
+            meter.update(score[0, :h, :w], target)
+        res = meter.compute()
         if res is None:
             return None
         auroc, auprc, fpr = res

@@ -35,7 +35,7 @@ from ..data.transforms import (
     RandCrop, RandHorizontalFlip, RandResize, RandRotate, RandSharpness,
     RandVerticalFlip, ToTensor,
 )
-from ..evals.ood_metrics import eval_ood_measure
+from ..evals.ood_metrics import BinnedOODMeter
 from ..losses.criterion import CriterionConfig, set_criterion
 from ..losses.rcl import make_rcl_params, rel_contrastive_loss
 from ..models.maskformer import MaskFormer, inference
@@ -227,13 +227,24 @@ class TrainM2FOOD:
 
     # ---------------- train loop ----------------
 
-    def train(self, start_epoch: int = 0):
+    def train(self, start_epoch: int = 0, resume: Optional[str] = None):
         cfg = self.cfg
         train_ds, val_ds = self.build_datasets()
         loader = Loader(
             train_ds, batch_size=cfg.train.train_batch, shuffle=True, drop_last=True,
             num_workers=cfg.data.num_workers, seed=cfg.train.seed,
         )
+
+        if resume and self.ckpt.exists(resume):
+            restored = self.ckpt.restore(resume, {
+                "params": self.variables["params"],
+                "batch_stats": self.variables.get("batch_stats"),
+                "epoch": 0,
+            })
+            self.variables = {"params": restored["params"],
+                              "batch_stats": restored["batch_stats"]}
+            start_epoch = int(restored["epoch"]) + 1
+            log.warning("resumed %s at epoch %d", resume, start_epoch)
 
         tx, opt_state = build_stage_optimizer(
             self.variables["params"], cfg.train.lr, cfg.train.weight_decay,
@@ -290,17 +301,18 @@ class TrainM2FOOD:
         return self.best
 
     def valid(self, state: TrainState, val_ds, eval_step) -> Optional[Dict[str, float]]:
+        """Per-epoch validation with on-device binned metrics (see
+        ``BinnedOODMeter``): only 3 scalars cross the host boundary."""
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
-        scores, gts = [], []
+        meter = BinnedOODMeter()
         for i in range(len(val_ds)):
             img, target, _ = val_ds[i]
             img_p, (h, w) = pad_to_multiple(img, 32)
             sem, anomaly = eval_step(variables, jnp.asarray(img_p[None]))
-            scores.append(np.asarray(anomaly[0, :h, :w], np.float32))
-            gts.append(np.asarray(target))
-        res = eval_ood_measure(np.stack(scores), np.stack(gts))
+            meter.update(anomaly[0, :h, :w], target)
+        res = meter.compute()
         if res is None:
             return None
         auroc, auprc, fpr = res

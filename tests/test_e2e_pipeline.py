@@ -133,3 +133,48 @@ def test_m2f_two_stage_training_e2e(fake_data, tmp_path, monkeypatch):
     best = trainer.train()
     assert best["AUPRC"] > -1
     assert trainer.ckpt.exists("AUPRC_best")
+
+
+def test_m2f_resume_crosses_stage_boundary(fake_data, tmp_path, monkeypatch):
+    """Orbax resume for M2F (reference --start_epoch, parse_arg.py:17): train one
+    stage-1 epoch, then resume from the saved checkpoint into a run whose warmup
+    boundary has passed — the resumed epoch must run the stage-2 official loss."""
+    from multishiftseg_tpu.models.maskformer import MaskFormer
+    from multishiftseg_tpu.train.m2f_trainer import TrainM2FOOD
+
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config("/root/repo/exps/m2f.yaml", exp_id="e2e_m2f_resume")
+    cfg.data.cityscapes_root = fake_data["cityscapes"]
+    cfg.data.generation_root = fake_data["generation"]
+    cfg.data.anomaly_track_root = fake_data["track"]
+    cfg.data.coco_root = str(tmp_path / "nope")
+    cfg.data.crop_size = (64, 64)
+    cfg.train.n_epochs = 1
+    cfg.train.warmup_epoch = 2  # stage 1 only in the first run
+    cfg.train.train_batch = 2
+    cfg.train.bf16 = False
+    cfg.data.num_workers = 2
+    cfg.model.m2f.train_num_points = 64
+    cfg.loss.params["num_pair_samples"] = 256
+
+    kw = dict(num_classes=19, hidden_dim=32, num_queries=24, nheads=4,
+              dim_feedforward=64, dec_layers=3, mask_dim=32,
+              transformer_enc_layers=1)
+    trainer = TrainM2FOOD(cfg, model=MaskFormer(**kw))
+    trainer.train()
+    assert trainer.ckpt.exists("AUPRC_best")
+    saved = trainer.ckpt.restore("AUPRC_best")
+    assert int(saved["epoch"]) == 0
+
+    # Resume: epoch restored from the checkpoint (1), warmup boundary at 1 already
+    # crossed -> the resumed epoch runs the stage-2 official-loss step.
+    cfg.train.n_epochs = 2
+    cfg.train.warmup_epoch = 1
+    trainer2 = TrainM2FOOD(cfg, model=MaskFormer(**kw))
+    best = trainer2.train(resume="AUPRC_best")
+    assert best["AUPRC"] > -1
+    # resumed params actually came from the checkpoint (not random re-init): the
+    # final variables differ from trainer2's fresh init only through ckpt + 1 epoch;
+    # cheap sanity: a second best checkpoint exists and epoch advanced.
+    saved2 = trainer2.ckpt.restore("AUPRC_best")
+    assert int(saved2["epoch"]) >= 1

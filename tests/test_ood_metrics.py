@@ -84,3 +84,36 @@ def test_binned_metrics_close_to_exact(rng):
     assert float(f) == pytest.approx(
         _reference_fpr_at_recall(labels[keep], scores[keep]), abs=5e-3
     )
+
+
+def test_binned_meter_streaming_matches_exact(rng):
+    """BinnedOODMeter (streaming, per-image chunks, device-side) agrees with the exact
+    host-side eval_ood_measure — the trainer valid() path is the binned one."""
+    import jax.numpy as jnp
+
+    labels, scores = _synthetic(rng, n=30000)
+    seg = labels.copy()
+    seg[::17] = 255  # void pixels excluded
+    exact = M.eval_ood_measure(scores, seg)
+    meter = M.BinnedOODMeter(num_bins=16384)
+    for s in range(0, len(scores), 7000):  # variable-size "images"
+        meter.update(jnp.asarray(scores[s : s + 7000]), seg[s : s + 7000])
+    binned = meter.compute()
+    assert binned is not None
+    assert binned[0] == pytest.approx(exact[0], abs=2e-3)
+    assert binned[1] == pytest.approx(exact[1], abs=3e-3)
+    assert binned[2] == pytest.approx(exact[2], abs=5e-3)
+    # meter resets after compute
+    assert meter.compute() is None
+
+
+def test_binned_meter_degenerate():
+    import jax.numpy as jnp
+
+    meter = M.BinnedOODMeter()
+    assert meter.compute() is None
+    meter.update(jnp.ones(10), np.zeros(10, np.int32))  # no positives
+    assert meter.compute() is None
+    meter = M.BinnedOODMeter()
+    meter.update(jnp.ones(10), np.full(10, 255, np.int32))  # all void
+    assert meter.compute() is None
