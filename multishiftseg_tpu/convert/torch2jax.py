@@ -137,6 +137,69 @@ def convert_deeplab(state_dict) -> Dict:
     return tb.unflatten()
 
 
+def _convert_swin_into(tb: TreeBuilder, sd: Dict[str, np.ndarray], p: str,
+                       dst: Tuple[str, ...]) -> None:
+    """Map Swin keys under prefix ``p`` (e.g. 'backbone.') onto the flax
+    :class:`multishiftseg_tpu.models.swin.SwinTransformer` tree at ``dst``.
+
+    Source layout: the reference's timm-style ``SwinTransformer``
+    (``modeling/backbone/swin.py:498-683``) — ``patch_embed.proj/.norm``,
+    ``layers.{s}.blocks.{b}.{norm1,attn.{qkv,proj,relative_position_bias_table},
+    norm2,mlp.{fc1,fc2}}``, ``layers.{s}.downsample.{norm,reduction}``, and the
+    per-stage output norms ``norm{s}`` added by ``out_indices``. Buffers
+    (``relative_position_index``, ``attn_mask``) are index tables recomputed on our
+    side and skipped.
+    """
+    tb.raw(dst + ("patch_embed", "kernel"), _conv(sd[f"{p}patch_embed.proj.weight"]))
+    tb.raw(dst + ("patch_embed", "bias"), sd[f"{p}patch_embed.proj.bias"])
+    if f"{p}patch_embed.norm.weight" in sd:
+        tb.raw(dst + ("patch_norm", "scale"), sd[f"{p}patch_embed.norm.weight"])
+        tb.raw(dst + ("patch_norm", "bias"), sd[f"{p}patch_embed.norm.bias"])
+
+    blk_re = re.compile(re.escape(p) + r"layers\.(\d+)\.blocks\.(\d+)\.")
+    seen = set()
+    for key in sd:
+        m = blk_re.match(key)
+        if not m:
+            continue
+        s, b = m.group(1), m.group(2)
+        base = f"{p}layers.{s}.blocks.{b}"
+        if base in seen:
+            continue
+        seen.add(base)
+        d = dst + (f"stage{s}_block{b}",)
+        for norm in ("norm1", "norm2"):
+            tb.raw(d + (norm, "scale"), sd[f"{base}.{norm}.weight"])
+            tb.raw(d + (norm, "bias"), sd[f"{base}.{norm}.bias"])
+        tb.dense(d + ("attn", "qkv"), sd[f"{base}.attn.qkv.weight"],
+                 sd.get(f"{base}.attn.qkv.bias"))
+        tb.dense(d + ("attn", "proj"), sd[f"{base}.attn.proj.weight"],
+                 sd[f"{base}.attn.proj.bias"])
+        tb.raw(d + ("attn", "relative_position_bias_table"),
+               sd[f"{base}.attn.relative_position_bias_table"])
+        tb.dense(d + ("mlp_fc1",), sd[f"{base}.mlp.fc1.weight"], sd[f"{base}.mlp.fc1.bias"])
+        tb.dense(d + ("mlp_fc2",), sd[f"{base}.mlp.fc2.weight"], sd[f"{base}.mlp.fc2.bias"])
+
+    for s in range(4):
+        if f"{p}layers.{s}.downsample.reduction.weight" in sd:
+            d = dst + (f"downsample{s}",)
+            tb.raw(d + ("norm", "scale"), sd[f"{p}layers.{s}.downsample.norm.weight"])
+            tb.raw(d + ("norm", "bias"), sd[f"{p}layers.{s}.downsample.norm.bias"])
+            tb.dense(d + ("reduction",), sd[f"{p}layers.{s}.downsample.reduction.weight"])
+        if f"{p}norm{s}.weight" in sd:
+            tb.raw(dst + (f"out_norm{s}", "scale"), sd[f"{p}norm{s}.weight"])
+            tb.raw(dst + (f"out_norm{s}", "bias"), sd[f"{p}norm{s}.bias"])
+
+
+def convert_swin(state_dict, prefix: str = "") -> Dict:
+    """Standalone Swin backbone state dict (e.g. an IN1k/IN21k pretrain) ->
+    variables for :class:`multishiftseg_tpu.models.swin.SwinTransformer`."""
+    sd = _np(state_dict)
+    tb = TreeBuilder()
+    _convert_swin_into(tb, sd, prefix, ())
+    return tb.unflatten()
+
+
 def convert_maskformer(state_dict, dec_layers: int = 9) -> Dict:
     """detectron2 MaskFormer (R-50 + MSDeformAttn + GMA decoder) state dict ->
     variables for :class:`multishiftseg_tpu.models.maskformer.MaskFormer`."""
@@ -147,7 +210,9 @@ def convert_maskformer(state_dict, dec_layers: int = 9) -> Dict:
             sd[k.replace("static_query", "query_feat")] = sd.pop(k)
     tb = TreeBuilder()
 
-    # ---- backbone (d2 ResNet; optional for head-only state dicts) ----
+    # ---- backbone (d2 ResNet or D2SwinTransformer; optional for head-only dicts) ----
+    if "backbone.patch_embed.proj.weight" in sd:
+        _convert_swin_into(tb, sd, "backbone.", ("backbone",))
     if "backbone.stem.conv1.weight" in sd:
         tb.conv(("backbone", "stem_conv1"), sd["backbone.stem.conv1.weight"])
         tb.bn(("backbone", "stem_norm1"), *_bn_group(sd, "backbone.stem.conv1.norm"))
@@ -170,9 +235,11 @@ def convert_maskformer(state_dict, dec_layers: int = 9) -> Dict:
             tb.conv(dst + ("shortcut",), sd[f"{base}.shortcut.weight"])
             tb.bn(dst + ("shortcut_norm",), *_bn_group(sd, f"{base}.shortcut.norm"))
 
-    # ---- pixel decoder ----
+    # ---- pixel decoder (optional: backbone-only dicts) ----
     pd = "sem_seg_head.pixel_decoder"
     dst_pd = ("pixel_decoder",)
+    if f"{pd}.mask_features.weight" not in sd:
+        return tb.unflatten()
     for i in range(3):
         tb.conv(dst_pd + (f"input_proj_{i}",),
                 sd[f"{pd}.input_proj.{i}.0.weight"], sd[f"{pd}.input_proj.{i}.0.bias"])

@@ -99,8 +99,11 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x):  # [N, H, W, C]
         n, h, w, c = x.shape
-        ws = min(self.window_size, max(h, w))
-        shift = self.shift_size if min(h, w) > ws else 0
+        # The reference keeps the configured window size and shift on every map and
+        # pads up to window multiples, even when H or W < window (swin.py:250-259,
+        # 406-430) — do not shrink/disable, it changes the numerics.
+        ws = self.window_size
+        shift = self.shift_size
 
         shortcut = x
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
@@ -127,7 +130,8 @@ class SwinBlock(nn.Module):
 
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
-        y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(nn.gelu(y))
+        # exact (erf) GELU — torch nn.GELU default; the tanh approximation drifts
+        y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(nn.gelu(y, approximate=False))
         return x + y
 
 

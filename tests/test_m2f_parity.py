@@ -119,10 +119,13 @@ def _install_stubs():
     modeling = _stub_module("detectron2.modeling")
     modeling.SEM_SEG_HEADS_REGISTRY = Registry("SEM_SEG_HEADS")
     modeling.META_ARCH_REGISTRY = Registry("META_ARCH")
+    modeling.BACKBONE_REGISTRY = Registry("BACKBONE")
     modeling.build_backbone = lambda cfg: None
     modeling.build_sem_seg_head = lambda cfg, shape: None
     backbone_m = _stub_module("detectron2.modeling.backbone")
     backbone_m.Backbone = type("Backbone", (), {})
+    modeling.Backbone = backbone_m.Backbone
+    modeling.ShapeSpec = ShapeSpec
     post_m = _stub_module("detectron2.modeling.postprocessing")
     post_m.sem_seg_postprocess = lambda *a, **k: None
     structures = _stub_module("detectron2.structures")
