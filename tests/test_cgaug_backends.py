@@ -1,0 +1,160 @@
+"""CG-Aug real backends: seg-conditioned diffusion (train + DDIM sample) and the
+promptable segmenter (train + box prompting), plus the full generation pipeline
+running through real (tiny) models instead of stubs."""
+
+import numpy as np
+import optax
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from multishiftseg_tpu.cgaug.diffusion import (
+    JaxSegDiffusion, NoiseSchedule, SegCondUNet, hash_prompt,
+    make_ddim_sampler, make_diffusion_train_step,
+)
+from multishiftseg_tpu.cgaug.segmenter import (
+    JaxPromptableSegmenter, PromptUNet, make_segmenter_train_step,
+)
+
+TINY = dict(base=16, mults=(1, 2))
+
+
+def test_prompt_hash_deterministic():
+    a = hash_prompt("a photo taken from a dash cam, rainy day")
+    b = hash_prompt("a photo taken from a dash cam, rainy day")
+    c = hash_prompt("a photo taken from a dash cam, snowy night")
+    np.testing.assert_array_equal(a, b)
+    assert (a != c).any()
+    assert (hash_prompt("") == 0).all()  # null prompt = unconditional ids
+    assert a.min() >= 0 and a.max() < 1024
+
+
+def test_diffusion_training_reduces_loss():
+    model = SegCondUNet(**TINY)
+    rng = np.random.RandomState(0)
+    seg = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1)
+    img = -seg  # learnable deterministic mapping
+    ids = jnp.asarray(np.stack([hash_prompt("city street"), hash_prompt("")]))
+    params = model.init({"params": jax.random.PRNGKey(0)}, img, seg,
+                        jnp.zeros((2,), jnp.int32), ids)["params"]
+    tx = optax.adam(2e-3)
+    step = make_diffusion_train_step(model, tx)
+    opt_state = tx.init(params)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(30):
+        params, opt_state, key, loss = step(params, opt_state, key, img, seg, ids)
+        losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert np.isfinite(losses).all()
+
+
+def test_ddim_sampler_deterministic_and_bounded():
+    model = SegCondUNet(**TINY)
+    z = jnp.zeros((1, 32, 32, 3))
+    ids = jnp.asarray(hash_prompt("foggy street"))[None]
+    params = model.init({"params": jax.random.PRNGKey(0)}, z, z,
+                        jnp.zeros((1,), jnp.int32), ids)["params"]
+    sample = make_ddim_sampler(model, (32, 32), steps=4, cfg_scale=9.0)
+    a = sample(params, z, ids, jax.random.PRNGKey(7))
+    b = sample(params, z, ids, jax.random.PRNGKey(7))
+    c = sample(params, z, ids, jax.random.PRNGKey(8))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+    assert a.shape == (1, 32, 32, 3)
+    # x0-clipping keeps the final step's prediction in the image range
+    assert float(jnp.abs(a).max()) <= 1.0 + 1e-5
+
+
+def _train_box_segmenter(steps=80, size=48, seed=0):
+    """Teach the tiny segmenter to reproduce its box-prompt channel."""
+    from multishiftseg_tpu.cgaug.segmenter import _box_channel
+
+    model = PromptUNet(base=16, mults=(1, 2))
+    params = model.init({"params": jax.random.PRNGKey(seed)},
+                        jnp.zeros((1, size, size, 4)))["params"]
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(params)
+    step = make_segmenter_train_step(model, tx)
+    rng = np.random.RandomState(seed)
+    for _ in range(steps):
+        xs, ts = [], []
+        for _ in range(4):
+            # full size range (tiny to near-full-frame): at inference the pasted
+            # anomaly's box can cover most of the image
+            x0, y0 = rng.randint(0, size - 8, 2)
+            x1 = x0 + rng.randint(4, size - x0 + 1)
+            y1 = y0 + rng.randint(4, size - y0 + 1)
+            box = _box_channel(size, size, np.asarray([x0, y0, x1, y1]))
+            img = rng.rand(size, size, 3).astype(np.float32) * 2 - 1
+            xs.append(np.concatenate([img, box[..., None]], -1))
+            ts.append(box)
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(ts))
+        )
+    return model, params, float(loss)
+
+
+def test_segmenter_learns_box_prompting():
+    model, params, loss = _train_box_segmenter()
+    assert loss < 0.1
+    seg = JaxPromptableSegmenter(params=params, base=16)
+    seg.model = model
+    seg._fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
+    img = (np.random.RandomState(3).rand(48, 48, 3) * 255).astype(np.uint8)
+    box = np.asarray([10, 8, 30, 26])
+    pred = seg.segment_box(img, box)
+    want = np.zeros((48, 48), np.uint8)
+    want[8:27, 10:31] = 1
+    iou = np.logical_and(pred, want).sum() / max(np.logical_or(pred, want).sum(), 1)
+    assert iou > 0.8
+
+
+def test_generation_e2e_with_real_backends(tmp_path):
+    """The full MultiShiftGenerator.run() path through REAL models: JAX diffusion
+    backend (DDIM, classifier-free guidance) + trained promptable segmenter; output
+    is a generated image + a trainId label with pasted pixels = 254."""
+    from multishiftseg_tpu.cgaug.generate import GenerationConfig, MultiShiftGenerator
+
+    h, w = 128, 160
+
+    class RectSource:  # solid rectangle -> bbox-filling mask, so a correct
+        def sample(self, rng):  # box-prompt segmenter legitimately passes IoU>0.7
+            m = np.zeros((100, 100), np.uint8)
+            m[10:90, 20:80] = 1
+            return m, "sofa"
+
+    model, params, _ = _train_box_segmenter()
+    segmenter = JaxPromptableSegmenter(params=params, base=16)
+    segmenter.model = model
+    segmenter._fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
+
+    gen = MultiShiftGenerator(
+        diffusion=JaxSegDiffusion((h, w), base=16, mults=(1, 2), steps=6, seed=0),
+        anomaly_source=RectSource(),
+        segmenter=segmenter,
+        cfg=GenerationConfig(iou_threshold=0.7, max_retries=3, seed=0),
+    )
+
+    color = np.zeros((h, w, 3), np.uint8)
+    color[:] = (70, 130, 180)  # sky
+    color[h // 3 :] = (128, 64, 128)  # road
+    color_p = tmp_path / "aachen_000000_000019_gtFine_color.png"
+    Image.fromarray(color).save(color_p)
+    tid_p = tmp_path / "aachen_000000_000019_gtFine_labelTrainIds.png"
+    Image.fromarray(np.zeros((h, w), np.uint8)).save(tid_p)
+
+    out_img = tmp_path / "img"
+    out_lbl = tmp_path / "lbl"
+    gen.run([str(color_p)], [str(tid_p)], str(out_img), str(out_lbl))
+
+    imgs = list(out_img.glob("*.png"))
+    lbls = list(out_lbl.glob("*.png"))
+    assert len(imgs) == 1 and len(lbls) == 1
+    image = np.asarray(Image.open(imgs[0]))
+    label = np.asarray(Image.open(lbls[0]))
+    assert image.shape == (h, w, 3) and image.dtype == np.uint8
+    assert (label == 254).sum() > 100  # pasted anomaly pixels marked OOD
+    assert (label == 0).sum() > 0  # rest untouched
