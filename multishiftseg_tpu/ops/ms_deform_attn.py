@@ -82,62 +82,88 @@ def _core_forward(
     n, s, m, d = value.shape
     _, lq, _, L, P, _ = sampling_locations.shape
     assert L == len(spatial_shapes)
-
     compute_dtype = value.dtype
-    loc = sampling_locations.astype(jnp.float32)
 
-    # [N, S, M, D] -> [N*M, S, D] once per layer (22 MB at eval shapes).
-    v = value.transpose(0, 2, 1, 3).reshape(n * m, s, d)
-    # [N, Lq, M, L, P] -> [N*M, Lq, L, P]
-    loc_m = loc.transpose(0, 2, 1, 3, 4, 5).reshape(n * m, lq, L, P, 2)
-    attn_m = (
-        attention_weights.astype(jnp.float32)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(n * m, lq, L, P)
-    )
-
-    # Block-expander / block-sum constants for the row-form weighted reduction:
-    # E[c, c*D+d] = 1 broadcasts corner weight c over its D-lane block;
-    # BS[c*D+d, d] = 1 sums the four weighted corner blocks back to D lanes.
-    E = jnp.asarray(np.repeat(np.eye(4), d, axis=1), compute_dtype)  # [4, 4D]
-    BS = jnp.asarray(np.tile(np.eye(d), (4, 1)), compute_dtype)      # [4D, D]
-
-    out = jnp.zeros((n * m, lq, d), jnp.float32)
+    # One level-concatenated im2col table per layer: row ((n*M + m)*S + off_l +
+    # i*W_l + j) holds the 2x2 window rooted at (i, j) of level l — so the WHOLE
+    # layer is ONE flat row gather, and all index math is one fusion (per-level
+    # slicing of transposed [N, Lq, M, L, P] tensors costs ~0.5 ms in layout copies
+    # per slice at eval shapes).
+    v = value.transpose(0, 2, 1, 3)  # [N, M, S, D]
+    tables = []
     start = 0
-    for lid, (h, w) in enumerate(spatial_shapes):
-        x = loc_m[:, :, lid, :, 0] * w - 0.5  # [N*M, Lq, P]
-        y = loc_m[:, :, lid, :, 1] * h - 0.5
-        # Clamped 2x2-window start: one gathered im2col row covers all 4 bilinear
-        # corners, quartering the index count.
-        sy = jnp.clip(jnp.floor(y), 0, h - 2).astype(jnp.int32)
-        sx = jnp.clip(jnp.floor(x), 0, w - 2).astype(jnp.int32)
-        vl = v[:, start : start + h * w].reshape(n * m, h, w, d)
-        rows = _flat_row_gather(
-            _im2col_table(vl), _window_index(sy, sx, h, w).reshape(-1)
-        )  # [N*M*Lq*P, 4D] — corner-major bilinear windows
-        # Corner weights reproduce grid_sample zero-padding exactly: corner (i, j) at
-        # absolute (sy+i, sx+j) gets relu(1-|y-(sy+i)|)*relu(1-|x-(sx+j)|); OOB sample
-        # positions are >1 away from every in-window corner -> weight 0.
-        pos = jnp.arange(2, dtype=jnp.float32)
-        wy = jax.nn.relu(1.0 - jnp.abs(y[..., None] - (sy[..., None] + pos)))
-        wx = jax.nn.relu(1.0 - jnp.abs(x[..., None] - (sx[..., None] + pos)))
-        w4 = (
-            wy[..., :, None] * wx[..., None, :]
-        ).reshape(n * m, lq, P, 4) * attn_m[:, :, lid, :, None]
-        # Row-form reduction: everything stays [rows, 4D]-shaped (128 lanes at D=32)
-        # — a (2,2,D)-shaped patch tensor forces padded-tile relayouts that cost more
-        # than the gathers themselves (measured 14.1 -> 5.6 ms/level on v5e;
-        # tools/reduce_microbench.py). The block-sum matmul accumulates in fp32.
-        wexp = w4.reshape(n * m * lq * P, 4).astype(compute_dtype) @ E  # [R, 4D]
-        part = jax.lax.dot_general(
-            rows * wexp, BS, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [R, D]
-        out = out + part.reshape(n * m, lq, P, d).sum(2)
+    for (h, w) in spatial_shapes:
+        vl = v[:, :, start : start + h * w].reshape(n * m, h, w, d)
+        tables.append(_im2col_table(vl).reshape(n * m, h * w, 4 * d))
         start += h * w
-    return (
-        out.reshape(n, m, lq, d).transpose(0, 2, 1, 3).reshape(n, lq, m * d)
-    ).astype(compute_dtype)
+    tab = jnp.concatenate(tables, axis=1).reshape(n * m * s, 4 * d)
+
+    hw = np.asarray(spatial_shapes, np.int64)  # [L, 2] (h, w)
+    off_np = np.concatenate([[0], np.cumsum(hw[:, 0] * hw[:, 1])[:-1]])
+
+    # Lane-structured coordinate math: every [.., 1]- or [.., P]-shaped slice of the
+    # [N, Lq, M, L, P, 2] location tensor tiles at <4% memory utilization (measured
+    # ~4 ms per producer fusion at eval shapes). Instead keep the natural flat
+    # [N, Lq, 192] view — lane k = m*(L*P) + l*P + p interleaved with (x, y) — and
+    # do everything with per-lane [96] constant vectors; the only reorganisation is
+    # one strided lane split (x = even lanes, y = odd lanes).
+    K = m * L * P  # 96 lanes per coordinate
+    loc192 = sampling_locations.astype(jnp.float32).reshape(n, lq, 2 * K)
+    x96 = loc192[:, :, 0::2]  # [N, Lq, K]
+    y96 = loc192[:, :, 1::2]
+    lane_l = (np.arange(K) // P) % L  # level of lane k
+    wv96 = jnp.asarray(hw[lane_l, 1], jnp.float32)
+    hv96 = jnp.asarray(hw[lane_l, 0], jnp.float32)
+    x = x96 * wv96 - 0.5  # [N, Lq, K]
+    y = y96 * hv96 - 0.5
+    # Clamped 2x2-window start: one gathered im2col row covers all 4 bilinear
+    # corners, quartering the index count.
+    sy = jnp.clip(jnp.floor(y), 0.0, hv96 - 2.0)
+    sx = jnp.clip(jnp.floor(x), 0.0, wv96 - 2.0)
+    m96 = jnp.asarray(np.arange(K) // (L * P), jnp.int32)
+    off96 = jnp.asarray(off_np[lane_l], jnp.int32)
+    wi96 = jnp.asarray(hw[lane_l, 1], jnp.int32)
+    lin = (
+        (jnp.arange(n, dtype=jnp.int32)[:, None, None] * m + m96) * s
+        + off96
+        + sy.astype(jnp.int32) * wi96
+        + sx.astype(jnp.int32)
+    )
+    rows = _flat_row_gather(tab, lin.reshape(-1))  # [R, 4D], R = N*Lq*K
+
+    # Corner weights reproduce grid_sample zero-padding exactly: corner (i, j) at
+    # absolute (sy+i, sx+j) gets relu(1-|y-(sy+i)|)*relu(1-|x-(sx+j)|); OOB sample
+    # positions are >1 away from every in-window corner -> weight 0. Weights are
+    # computed DIRECTLY in lane-indexed [R, 4D] form (lane l = corner l // D,
+    # (cy, cx) = (c // 2, c % 2)) — [R, 4]- or [..., 2, 2]-shaped f32 intermediates
+    # put 4 elements in an (8, 128) memory tile (<4% utilization, ~3 ms each in the
+    # device trace). The whole expression is elementwise over broadcast [R, 1]
+    # coordinates and fuses into the multiply+reduce with the gathered rows.
+    lane_c = np.arange(4 * d) // d
+    cy_l = jnp.asarray(lane_c // 2, jnp.float32)  # [4D]
+    cx_l = jnp.asarray(lane_c % 2, jnp.float32)
+    r = n * lq * K
+    yf = y.reshape(r, 1)
+    xf = x.reshape(r, 1)
+    syf = sy.reshape(r, 1)
+    sxf = sx.reshape(r, 1)
+    af = attention_weights.astype(jnp.float32).reshape(r, 1)
+    wexp = (
+        jax.nn.relu(1.0 - jnp.abs(yf - (syf + cy_l)))
+        * jax.nn.relu(1.0 - jnp.abs(xf - (sxf + cx_l)))
+        * af
+    ).astype(compute_dtype)  # [R, 4D]
+    # Block-sum matmul: BS[c*D+dd, dd] = 1 sums the four weighted corner blocks on
+    # the MXU; XLA fuses the [R, 4D] weight multiply into this dot (a separate
+    # multiply materializes 1 GB and a Pallas reduction kernel was measured slower
+    # than this fused dot + sum: the [R, D] operand pads to 4x memory at D=32).
+    BS = jnp.asarray(np.tile(np.eye(d), (4, 1)), compute_dtype)  # [4D, D]
+    part = jax.lax.dot_general(
+        rows * wexp, BS, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [R, D]
+    out = part.reshape(n, lq, m, L * P, d).sum(3)
+    return out.reshape(n, lq, m * d).astype(compute_dtype)
 
 
 def _core_vjp_fwd(spatial_shapes, value, sampling_locations, attention_weights):
