@@ -87,3 +87,79 @@ def default_device_count(requested: int = 0) -> int:
         return requested
     env = os.environ.get("MSS_NUM_DEVICES")
     return int(env) if env else len(jax.devices())
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (multi-slice / DCN) support
+# ---------------------------------------------------------------------------
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Join a multi-host JAX runtime (SURVEY §2.9's DP target beyond one host).
+
+    On TPU pods the arguments auto-detect from the environment; on CPU/GPU
+    clusters pass them (or set ``JAX_COORDINATOR_ADDRESS`` etc.). After this,
+    ``jax.devices()`` is GLOBAL and :func:`make_global_mesh` lays the data axis
+    out host-major, so per-step gradient all-reduce crosses DCN once while
+    within-host reduction rides ICI. Safe to call on a single process (no-op).
+    """
+    if jax.process_count() > 1 or coordinator_address is None and num_processes is None:
+        return  # already initialized, or single-process run
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_global_mesh(model_parallel: int = 1) -> Mesh:
+    """(data, model) mesh over ALL processes' devices, host-major on the data axis.
+
+    Host-major layout means each host's addressable devices are contiguous along
+    ``data``: batch shards stay host-local (each host feeds its own devices via
+    :func:`local_batch_slice`) and the model axis never crosses DCN.
+    """
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    n = len(devs)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    if model_parallel > 1 and len(jax.local_devices()) % model_parallel != 0:
+        raise ValueError(
+            f"model_parallel={model_parallel} would span hosts "
+            f"({len(jax.local_devices())} local devices) — the model axis must "
+            f"stay on ICI"
+        )
+    grid = np.asarray(devs).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """This process's contiguous slice of the global batch under the host-major
+    mesh (each host loads only its own shard — the multi-host loader contract)."""
+    per = global_batch // jax.process_count()
+    assert per * jax.process_count() == global_batch, (
+        global_batch, jax.process_count())
+    return slice(jax.process_index() * per, (jax.process_index() + 1) * per)
+
+
+def shard_global_batch(batch, mesh: Mesh):
+    """Assemble a globally-sharded array from per-host local shards.
+
+    Each process passes ITS slice (``local_batch_slice``) of the global batch;
+    the result is one global jax.Array batch-sharded over ``data`` — the
+    multi-host analogue of :func:`shard_batch`.
+    """
+    sharding_for = lambda x: data_sharded(mesh, np.asarray(x).ndim)
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(
+            sharding_for(x), x, global_shape
+        )
+
+    return jax.tree_util.tree_map(put, batch)

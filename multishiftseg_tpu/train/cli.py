@@ -25,7 +25,9 @@ def main():
     args = parser.parse_args()
 
     from ..core.config import load_config
+    from ..core.mesh import initialize_distributed
 
+    initialize_distributed()  # no-op single-process; joins a pod when launched multi-host
     cfg = load_config(args.cfg, args.id)
     cfg.train.seed = args.seed
 
