@@ -212,9 +212,8 @@ def load_config(yaml_path: Optional[str] = None, exp_id: Optional[str] = None) -
     """
     cfg = Config()
     if yaml_path is not None:
-        with open(yaml_path) as f:
-            overrides = yaml.safe_load(f) or {}
-        _update_dataclass(cfg, overrides)
+        for overrides in _load_yaml_chain(yaml_path):
+            _update_dataclass(cfg, overrides)
     if exp_id:
         if not cfg.model_dir:
             cfg.model_dir = str(pathlib.Path("ckpts") / exp_id)
@@ -227,6 +226,18 @@ def load_config(yaml_path: Optional[str] = None, exp_id: Optional[str] = None) -
     if not cfg.data_dir:
         cfg.data_dir = "data"
     return cfg
+
+
+def _load_yaml_chain(yaml_path: str) -> list:
+    """Resolve a ``base:`` include chain (detectron2 ``_BASE_`` role): returns the
+    override dicts base-first. Base paths are relative to the including file."""
+    with open(yaml_path) as f:
+        overrides = yaml.safe_load(f) or {}
+    base = overrides.pop("base", None)
+    if base is None:
+        return [overrides]
+    base_path = pathlib.Path(yaml_path).parent / base
+    return _load_yaml_chain(str(base_path)) + [overrides]
 
 
 def to_dict(cfg: Any) -> Dict[str, Any]:

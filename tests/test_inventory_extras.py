@@ -90,3 +90,14 @@ def test_ade20k_source_with_synthetic_index(tmp_path, rng):
     mask, name = src.sample(np.random.default_rng(0))
     assert name == "sofa"
     assert mask.sum() == 20 * 30
+
+
+def test_config_base_include_chain():
+    """Swin experiment yamls inherit m2f.yaml through the base: include
+    (detectron2 _BASE_ role)."""
+    from multishiftseg_tpu.core.config import load_config
+
+    cfg = load_config("/root/repo/exps/m2f_swin_large.yaml")
+    assert cfg.model.m2f.backbone == "swin_large"
+    assert cfg.train.warmup_epoch == 5  # inherited
+    assert cfg.loss.params["mask2anomaly_loss_weight"]["mask_weight"] == 10.0
