@@ -99,3 +99,17 @@ def test_generator_accepts_and_rejects():
         detector=RejectingDetector(0.0),
     )
     assert gen_bad.generate(_city_label()) is None
+
+
+def test_weight_registry(tmp_path, monkeypatch):
+    """fetch_weight resolves registered names; gdrive entries raise with the
+    manual URL; existing files short-circuit without network."""
+    from multishiftseg_tpu.cgaug import weights as W
+
+    dest = tmp_path / "sam_vit_h_4b8939.pth"
+    dest.write_bytes(b"x")
+    assert W.fetch_weight("sam_vit_h", str(tmp_path)) == str(dest)
+    with pytest.raises(RuntimeError, match="Google Drive"):
+        W.fetch_weight("bt-f-xl", str(tmp_path))
+    with pytest.raises(KeyError):
+        W.fetch_weight("nope", str(tmp_path))
