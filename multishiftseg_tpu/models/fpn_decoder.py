@@ -2,7 +2,7 @@
 
 Behavioural ports of ``modeling/pixel_decoder/fpn.py:37-312``:
 * ``BasePixelDecoder`` — plain top-down FPN over res2-5 (1x1 lateral + 3x3 output
-  convs with GN, nearest... the reference uses bilinear fusion upsampling);
+  convs with GN, nearest fusion upsampling per ``fpn.py:149``);
 * ``TransformerEncoderPixelDecoder`` — MaskFormer-v1 variant that runs a DETR
   transformer encoder on res5 before the FPN top-down pass.
 """
@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.resize import resize_bilinear
+from ..ops.resize import resize_nearest
 from .attention import MultiheadAttention
 from .layers import Conv
 from .position_encoding import position_embedding_sine
@@ -34,10 +34,10 @@ class TransformerEncoderLayer(nn.Module):
         q = src + pos
         attn = MultiheadAttention(self.d_model, self.nheads, dtype=self.dtype,
                                   name="self_attn")(q, q, src)
-        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src + attn)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src + attn)
         ffn = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(src)
         ffn = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(nn.relu(ffn))
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src + ffn)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src + ffn)
 
 
 class BasePixelDecoder(nn.Module):
@@ -60,19 +60,21 @@ class BasePixelDecoder(nn.Module):
             if idx == 0:
                 y = Conv(self.conv_dim, (3, 3), dtype=self.dtype,
                          name=f"layer_{len(names) - idx}")(x)
-                y = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                y = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
                                  name=f"layer_{len(names) - idx}_gn")(y)
                 y = nn.relu(y)
             else:
                 lateral = Conv(self.conv_dim, (1, 1), dtype=self.dtype,
                                name=f"adapter_{len(names) - idx}")(x)
-                lateral = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                lateral = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
                                        name=f"adapter_{len(names) - idx}_gn")(lateral)
-                up = resize_bilinear(y, (x.shape[1], x.shape[2]), align_corners=False)
+                # "Following FPN implementation, we use nearest upsampling here"
+                # (fpn.py:149 — unlike the msdeformattn FPN step, which is bilinear)
+                up = resize_nearest(y, (x.shape[1], x.shape[2]))
                 y = lateral + up
                 y = Conv(self.conv_dim, (3, 3), dtype=self.dtype,
                          name=f"layer_{len(names) - idx}")(y)
-                y = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                y = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
                                  name=f"layer_{len(names) - idx}_gn")(y)
                 y = nn.relu(y)
             outs.append(y)

@@ -30,14 +30,14 @@ class DETRDecoderLayer(nn.Module):
         q = tgt + query_pos
         sa = MultiheadAttention(self.d_model, self.nheads, dtype=self.dtype,
                                 name="self_attn")(q, q, tgt)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt + sa)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt + sa)
         ca = MultiheadAttention(self.d_model, self.nheads, dtype=self.dtype,
                                 name="multihead_attn")(
             tgt + query_pos, memory + pos, memory)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt + ca)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt + ca)
         ffn = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(tgt)
         ffn = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(nn.relu(ffn))
-        return nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt + ffn)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt + ffn)
 
 
 class StandardTransformerDecoder(nn.Module):
@@ -76,7 +76,7 @@ class StandardTransformerDecoder(nn.Module):
                                name="class_embed")
         mask_embed = MLP(self.hidden_dim, self.mask_dim, 3, dtype=self.dtype,
                          name="mask_embed")
-        decoder_norm = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")
 
         outs = []
         for i in range(self.dec_layers):

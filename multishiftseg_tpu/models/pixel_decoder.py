@@ -53,10 +53,10 @@ class DeformableEncoderLayer(nn.Module):
             d_model=self.d_model, n_levels=self.n_levels, n_heads=self.n_heads,
             n_points=self.n_points, dtype=self.dtype, name="self_attn",
         )(q, reference_points, src, spatial_shapes)
-        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src + attn_out)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src + attn_out)
         ffn = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(src)
         ffn = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(nn.relu(ffn))
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src + ffn)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src + ffn)
 
 
 class MSDeformAttnPixelDecoder(nn.Module):
@@ -82,7 +82,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             x = features[name]
             x = Conv(self.conv_dim, (1, 1), use_bias=True, dtype=self.dtype,
                      name=f"input_proj_{idx}")(x)
-            x = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
                              name=f"input_proj_{idx}_gn")(x)
             h, w = x.shape[1], x.shape[2]
             shapes.append((h, w))
@@ -127,12 +127,12 @@ class MSDeformAttnPixelDecoder(nn.Module):
             x = features[name]
             lateral = Conv(self.conv_dim, (1, 1), dtype=self.dtype,
                            name=f"adapter_{idx + 1}")(x)
-            lateral = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+            lateral = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
                                    name=f"adapter_{idx + 1}_gn")(lateral)
             up = resize_bilinear(outs[-1], (x.shape[1], x.shape[2]), align_corners=False)
             y = lateral + up
             y = Conv(self.conv_dim, (3, 3), dtype=self.dtype, name=f"layer_{idx + 1}")(y)
-            y = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+            y = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
                              name=f"layer_{idx + 1}_gn")(y)
             outs.append(nn.relu(y))
 

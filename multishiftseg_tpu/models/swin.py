@@ -106,7 +106,7 @@ class SwinBlock(nn.Module):
         shift = self.shift_size
 
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         ph = (-h) % ws
         pw = (-w) % ws
         if ph or pw:
@@ -128,7 +128,7 @@ class SwinBlock(nn.Module):
         x = x[:, :h, :w]
         x = shortcut + x
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
         # exact (erf) GELU — torch nn.GELU default; the tanh approximation drifts
         y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(nn.gelu(y, approximate=False))
@@ -149,7 +149,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
 
@@ -166,7 +166,7 @@ class SwinTransformer(nn.Module):
         # patch embed: conv 4x4 stride 4 + LN
         x = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4), dtype=self.dtype,
                     name="patch_embed")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
 
         feats = {}
         dim = self.embed_dim
@@ -180,7 +180,7 @@ class SwinTransformer(nn.Module):
                     name=f"stage{stage}_block{blk}",
                 )(x)
             # per-stage output norm (the D2 wrapper's norm0..norm3, swin.py:686-764)
-            feats[f"res{stage + 2}"] = nn.LayerNorm(
+            feats[f"res{stage + 2}"] = nn.LayerNorm(epsilon=1e-5, 
                 dtype=self.dtype, name=f"out_norm{stage}"
             )(x)
             if stage < len(self.depths) - 1:

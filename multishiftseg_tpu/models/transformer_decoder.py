@@ -36,7 +36,7 @@ class SelfAttentionLayer(nn.Module):
         q = tgt + query_pos
         out = MultiheadAttention(self.d_model, self.nheads, dtype=self.dtype,
                                  name="self_attn")(q, q, tgt)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(tgt + out)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(tgt + out)
 
 
 class GlobalCrossAttentionLayer(nn.Module):
@@ -55,7 +55,7 @@ class GlobalCrossAttentionLayer(nn.Module):
                                 name="multihead_attn_foreground")(q, k, memory, mask_fg)
         bg = MultiheadAttention(self.d_model, self.nheads, dtype=self.dtype,
                                 name="multihead_attn_background")(q, k, memory, mask_bg)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(tgt + fg + bg)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(tgt + fg + bg)
 
 
 class CrossAttentionLayer(nn.Module):
@@ -68,7 +68,7 @@ class CrossAttentionLayer(nn.Module):
         out = MultiheadAttention(self.d_model, self.nheads, dtype=self.dtype,
                                  name="multihead_attn")(tgt + query_pos, memory + pos,
                                                         memory, mask)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(tgt + out)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(tgt + out)
 
 
 class FFNLayer(nn.Module):
@@ -80,7 +80,7 @@ class FFNLayer(nn.Module):
     def __call__(self, tgt):
         x = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(tgt)
         x = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(nn.relu(x))
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(tgt + x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(tgt + x)
 
 
 def _attn_masks_from_logits(outputs_mask, target_hw, num_heads):
@@ -133,7 +133,7 @@ class MultiScaleMaskedTransformerDecoderGMA(nn.Module):
                      name=f"ffn_{i}")
             for i in range(self.dec_layers)
         ]
-        self.decoder_norm = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")
         self.class_embed = nn.Dense(self.num_classes + 1, dtype=self.dtype,
                                     name="class_embed")
         self.class_embed2 = nn.Dense(self.num_classes + 1, dtype=self.dtype,
@@ -265,7 +265,7 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
                      name=f"ffn_{i}")
             for i in range(self.dec_layers)
         ]
-        self.decoder_norm = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")
         self.class_embed = nn.Dense(self.num_classes + 1, dtype=self.dtype,
                                     name="class_embed")
         self.mask_embed = MLP(self.hidden_dim, self.mask_dim, 3, dtype=self.dtype,

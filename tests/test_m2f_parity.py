@@ -94,6 +94,7 @@ def _install_stubs():
     layers.Conv2d = Conv2d
     layers.ShapeSpec = ShapeSpec
     layers.get_norm = get_norm
+    layers.DeformConv = type("DeformConv", (), {})  # imported by fpn.py, unused
 
     _stub_module("detectron2.utils")
     regm = _stub_module("detectron2.utils.registry")
