@@ -139,19 +139,27 @@ def _core_forward(
     # put 4 elements in an (8, 128) memory tile (<4% utilization, ~3 ms each in the
     # device trace). The whole expression is elementwise over broadcast [R, 1]
     # coordinates and fuses into the multiply+reduce with the gathered rows.
-    lane_c = np.arange(4 * d) // d
-    cy_l = jnp.asarray(lane_c // 2, jnp.float32)  # [4D]
-    cx_l = jnp.asarray(lane_c % 2, jnp.float32)
+    # Pre-reduce to four per-row corner weights in cheap [N, Lq, K] lane form
+    # (the relu/abs algebra runs once per row, not once per [R, 4D] element — the
+    # big fusion was VPU-bound at ~10 ops/element), then expand by corner lane
+    # with two selects.
+    a96 = attention_weights.astype(jnp.float32).reshape(n, lq, K)
+    ty = y - sy  # in [0, 1] except at the clamp boundary (OOB -> weight 0 below)
+    tx = x - sx
+    wy0 = jax.nn.relu(1.0 - jnp.abs(ty))
+    wy1 = jax.nn.relu(1.0 - jnp.abs(ty - 1.0))
+    wx0 = jax.nn.relu(1.0 - jnp.abs(tx))
+    wx1 = jax.nn.relu(1.0 - jnp.abs(tx - 1.0))
+    w00 = wy0 * wx0 * a96
+    w01 = wy0 * wx1 * a96
+    w10 = wy1 * wx0 * a96
+    w11 = wy1 * wx1 * a96
+    lane_c = jnp.asarray(np.arange(4 * d) // d, jnp.int32)  # [4D]
     r = n * lq * K
-    yf = y.reshape(r, 1)
-    xf = x.reshape(r, 1)
-    syf = sy.reshape(r, 1)
-    sxf = sx.reshape(r, 1)
-    af = attention_weights.astype(jnp.float32).reshape(r, 1)
-    wexp = (
-        jax.nn.relu(1.0 - jnp.abs(yf - (syf + cy_l)))
-        * jax.nn.relu(1.0 - jnp.abs(xf - (sxf + cx_l)))
-        * af
+    wexp = jnp.where(
+        lane_c < 2,
+        jnp.where(lane_c == 0, w00.reshape(r, 1), w01.reshape(r, 1)),
+        jnp.where(lane_c == 2, w10.reshape(r, 1), w11.reshape(r, 1)),
     ).astype(compute_dtype)  # [R, 4D]
     # Block-sum matmul: BS[c*D+dd, dd] = 1 sums the four weighted corner blocks on
     # the MXU; XLA fuses the [R, 4D] weight multiply into this dot (a separate
