@@ -158,3 +158,41 @@ def test_generation_e2e_with_real_backends(tmp_path):
     assert image.shape == (h, w, 3) and image.dtype == np.uint8
     assert (label == 254).sum() > 100  # pasted anomaly pixels marked OOD
     assert (label == 0).sum() > 0  # rest untouched
+
+
+def test_train_backends_drivers(tmp_path):
+    """The CLI training drivers run end-to-end on synthetic data: walk the
+    Cityscapes color-pair layout, take real optimizer steps, save checkpoints."""
+    from multishiftseg_tpu.cgaug import train_backends as TB
+
+    city = tmp_path / "cs"
+    for i in range(2):
+        stem = f"aachen_{i:06d}_000019"
+        p = city / "leftImg8bit" / "train" / "aachen" / f"{stem}_leftImg8bit.png"
+        p.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(np.zeros((64, 128, 3), np.uint8)).save(p)
+        q = city / "gtFine" / "train" / "aachen" / f"{stem}_gtFine_color.png"
+        q.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(np.full((64, 128, 3), 128, np.uint8)).save(q)
+    pairs = TB.walk_color_pairs(str(city))
+    assert len(pairs) == 2
+
+    params, loss = TB.train_diffusion(
+        str(city), str(tmp_path / "out"), steps=3, batch=2,
+        image_hw=(32, 64), base=16, save_every=0, log_every=10,
+    )
+    assert np.isfinite(loss)
+    from multishiftseg_tpu.train.checkpoint import CheckpointManager
+    assert CheckpointManager(str(tmp_path / "out")).exists("diffusion_last")
+
+    mask_dir = tmp_path / "masks"
+    mask_dir.mkdir()
+    m = np.zeros((40, 40), np.uint8)
+    m[5:30, 10:35] = 255
+    Image.fromarray(m).save(mask_dir / "obj0.png")
+    params, loss = TB.train_segmenter(
+        str(tmp_path / "out2"), mask_dir=str(mask_dir), steps=3, batch=2,
+        size=32, base=16, log_every=10,
+    )
+    assert np.isfinite(loss)
+    assert CheckpointManager(str(tmp_path / "out2")).exists("segmenter_last")
