@@ -39,6 +39,30 @@ def _build() -> bool:
         return False
 
 
+_named_libs: dict = {}
+
+
+def get_named_lib(so_name: str) -> Optional[ctypes.CDLL]:
+    """Load (building on demand) another shared library from ``native/``
+    (e.g. ``libmssmetrics.so``); None when the toolchain is unavailable."""
+    with _lock:
+        if so_name in _named_libs:
+            return _named_libs[so_name]
+        path = os.path.abspath(os.path.join(_NATIVE_DIR, so_name))
+        lib = None
+        try:
+            if not os.path.exists(path):
+                subprocess.run(["make", "-s", so_name],
+                               cwd=os.path.abspath(_NATIVE_DIR),
+                               check=True, capture_output=True)
+            lib = ctypes.CDLL(path)
+        except Exception as e:
+            log.warning("native %s unavailable (%s); using python fallback",
+                        so_name, e)
+        _named_libs[so_name] = lib
+        return lib
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _lib_failed
     with _lock:

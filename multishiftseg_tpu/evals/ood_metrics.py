@@ -79,28 +79,67 @@ def fpr_at_recall(
     return float(fps_r[cutoff] / n_neg)
 
 
+_NATIVE_MIN_PIXELS = 2_000_000  # below this, numpy's sort wins on dispatch overhead
+
+
+def _native_ood_metrics(scores: np.ndarray, labels: np.ndarray,
+                        recall_level: float) -> Optional[Tuple[float, float, float]]:
+    """Threaded C++ sort+sweep core (``native/metrics.cc``) — the host-side hot
+    spot of a final benchmark evaluation is a single-threaded sort over
+    10^7..10^8 labelled pixels (the reference's sklearn path,
+    ``lib/utils/metric.py:170-181``). Returns None when unavailable."""
+    from ..data.native_io import get_named_lib
+
+    lib = get_named_lib("libmssmetrics.so")
+    if lib is None:
+        return None
+    import ctypes
+    import os
+
+    fn = lib.mss_ood_metrics
+    fn.restype = ctypes.c_int
+    s = np.ascontiguousarray(scores, np.float32)
+    l = np.ascontiguousarray(labels, np.uint8)
+    out = np.zeros(3, np.float64)
+    rc = fn(
+        s.ctypes.data_as(ctypes.c_void_p), l.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(s.size), ctypes.c_double(recall_level),
+        ctypes.c_int(os.cpu_count() or 1),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return None
+    return float(out[0]), float(out[1]), float(out[2])
+
+
 def eval_ood_measure(
     conf: np.ndarray,
     seg_label: np.ndarray,
     train_id_in: int = 0,
     train_id_out: int = 1,
     recall_level: float = 0.95,
+    use_native: Optional[bool] = None,
 ) -> Optional[Tuple[float, float, float]]:
     """(AUROC, AUPRC, FPR@95) over pixels labelled in/out; None if either set is empty.
 
     Signature-compatible with the reference ``eval_ood_measure``
     (``lib/utils/metric.py:170-181``). Pixels with other labels (e.g. 255 void) are
-    excluded.
+    excluded. Large inputs route through the threaded C++ core (same tie
+    semantics; f32 score precision) unless ``use_native=False``.
     """
     conf = np.asarray(conf).reshape(-1)
     seg_label = np.asarray(seg_label).reshape(-1)
     mask = (seg_label == train_id_in) | (seg_label == train_id_out)
     if not mask.any():
         return None
-    scores = conf[mask].astype(np.float64)
     labels = (seg_label[mask] == train_id_out).astype(np.int64)
     if labels.sum() == 0 or labels.sum() == labels.size:
         return None
+    if use_native or (use_native is None and mask.sum() >= _NATIVE_MIN_PIXELS):
+        native = _native_ood_metrics(conf[mask], labels, recall_level)
+        if native is not None:
+            return native
+    scores = conf[mask].astype(np.float64)
     return (
         auroc(labels, scores),
         average_precision(labels, scores),

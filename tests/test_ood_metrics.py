@@ -117,3 +117,31 @@ def test_binned_meter_degenerate():
     meter = M.BinnedOODMeter()
     meter.update(jnp.ones(10), np.full(10, 255, np.int32))  # all void
     assert meter.compute() is None
+
+
+def test_native_metrics_matches_python(rng):
+    """The threaded C++ core (native/metrics.cc) agrees with the exact python
+    implementation (incl. tie collapsing) to f32 score precision."""
+    from multishiftseg_tpu.data.native_io import get_named_lib
+
+    if get_named_lib("libmssmetrics.so") is None:
+        pytest.skip("native toolchain unavailable")
+    for ties in (False, True):
+        labels, scores = _synthetic(rng, n=60000, ties=ties)
+        scores = scores.astype(np.float32).astype(np.float64)  # equalize precision
+        seg = labels.copy()
+        seg[::13] = 255
+        py = M.eval_ood_measure(scores, seg, use_native=False)
+        nat = M.eval_ood_measure(scores, seg, use_native=True)
+        assert nat is not None
+        for a, b in zip(nat, py):
+            assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_native_metrics_degenerate():
+    from multishiftseg_tpu.data.native_io import get_named_lib
+
+    if get_named_lib("libmssmetrics.so") is None:
+        pytest.skip("native toolchain unavailable")
+    # single-class input -> None via the python guard before the native call
+    assert M.eval_ood_measure(np.ones(10), np.zeros(10), use_native=True) is None
