@@ -306,8 +306,11 @@ def convert_maskformer(state_dict, dec_layers: int = 9) -> Dict:
     ln(dst_pr + ("decoder_norm",), f"{pr}.decoder_norm")
     tb.dense(dst_pr + ("class_embed",), sd[f"{pr}.class_embed.weight"],
              sd[f"{pr}.class_embed.bias"])
-    tb.dense(dst_pr + ("class_embed2",), sd[f"{pr}.class_embed2.weight"],
-             sd[f"{pr}.class_embed2.bias"])
+    # Stock (non-anomaly) Mask2Former checkpoints lack the OOD head; initialize it
+    # by weight copy exactly like the reference fine-tuning setup
+    # (``train_m2f.py:125-132``).
+    ce2 = f"{pr}.class_embed2" if f"{pr}.class_embed2.weight" in sd else f"{pr}.class_embed"
+    tb.dense(dst_pr + ("class_embed2",), sd[f"{ce2}.weight"], sd[f"{ce2}.bias"])
     for i in range(3):
         tb.dense(dst_pr + ("mask_embed", f"layers_{i}"),
                  sd[f"{pr}.mask_embed.layers.{i}.weight"],

@@ -152,3 +152,17 @@ def test_convert_maskformer_tree_complete(rng):
     assert ("predictor", "query_feat") in {
         k[:2] for k in got_flat
     }
+
+
+def test_convert_stock_checkpoint_without_ood_head(rng):
+    """Stock Mask2Former checkpoints (no class_embed2) convert with the OOD head
+    initialized by class_embed weight copy (reference train_m2f.py:125-132)."""
+    sd = build_d2_state_dict(np.random.RandomState(3))
+    pr = "sem_seg_head.predictor"
+    del sd[f"{pr}.class_embed2.weight"], sd[f"{pr}.class_embed2.bias"]
+    variables = convert_maskformer(sd)
+    p = variables["params"]["predictor"]
+    np.testing.assert_array_equal(p["class_embed2"]["kernel"],
+                                  p["class_embed"]["kernel"])
+    np.testing.assert_array_equal(p["class_embed2"]["bias"],
+                                  p["class_embed"]["bias"])
