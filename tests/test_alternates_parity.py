@@ -175,3 +175,84 @@ def test_vanilla_m2f_decoder_parity(dec_mod, rng):
         for key in a_t:
             np.testing.assert_allclose(np.asarray(a_j[key]), a_t[key].numpy(),
                                        atol=2e-3, rtol=1e-3)
+
+
+def test_maskformer_v1_decoder_parity(dec_mod, rng):
+    """StandardTransformerDecoder (MaskFormer-v1, DETR transformer) vs the
+    reference torch module (``maskformer_transformer_decoder.py:30-188``)."""
+    import torch
+
+    from multishiftseg_tpu.models.maskformer_v1_decoder import (
+        StandardTransformerDecoder,
+    )
+
+    from test_m2f_parity import _load
+
+    v1_mod = _load(
+        "refm2f.modeling.transformer_decoder.maskformer_transformer_decoder"
+    )
+    torch.manual_seed(2)
+    DEC, NQ, NH = 6, 100, 8
+    ref = v1_mod.StandardTransformerDecoder(
+        in_channels=CONV_DIM, num_classes=19, hidden_dim=CONV_DIM, num_queries=NQ,
+        nheads=NH, dropout=0.0, dim_feedforward=2048, enc_layers=0, dec_layers=DEC,
+        pre_norm=False, deep_supervision=True, mask_dim=CONV_DIM,
+        enforce_input_project=False,
+    )
+    ref.eval()
+    sd = ref.state_dict()
+
+    p = {}
+    p[("query_embed",)] = _np(sd["query_embed.weight"])
+
+    def mha(dst, src):
+        w, b = _np(sd[f"{src}.in_proj_weight"]), _np(sd[f"{src}.in_proj_bias"])
+        dm = w.shape[1]
+        for i, nm in enumerate(("q_proj", "k_proj", "v_proj")):
+            p[dst + (nm, "kernel")] = _dense(w[i * dm:(i + 1) * dm])
+            p[dst + (nm, "bias")] = b[i * dm:(i + 1) * dm]
+        p[dst + ("out_proj", "kernel")] = _dense(_np(sd[f"{src}.out_proj.weight"]))
+        p[dst + ("out_proj", "bias")] = _np(sd[f"{src}.out_proj.bias"])
+
+    for i in range(DEC):
+        base = f"transformer.decoder.layers.{i}"
+        mha((f"layer_{i}", "self_attn"), f"{base}.self_attn")
+        mha((f"layer_{i}", "multihead_attn"), f"{base}.multihead_attn")
+        for lin in ("linear1", "linear2"):
+            p[(f"layer_{i}", lin, "kernel")] = _dense(_np(sd[f"{base}.{lin}.weight"]))
+            p[(f"layer_{i}", lin, "bias")] = _np(sd[f"{base}.{lin}.bias"])
+        for norm in ("norm1", "norm2", "norm3"):
+            for k, v in _ln(sd, f"{base}.{norm}").items():
+                p[(f"layer_{i}", norm, k)] = v
+    for k, v in _ln(sd, "transformer.decoder.norm").items():
+        p[("decoder_norm", k)] = v
+    p[("class_embed", "kernel")] = _dense(_np(sd["class_embed.weight"]))
+    p[("class_embed", "bias")] = _np(sd["class_embed.bias"])
+    for i in range(3):
+        p[("mask_embed", f"layers_{i}", "kernel")] = _dense(
+            _np(sd[f"mask_embed.layers.{i}.weight"]))
+        p[("mask_embed", f"layers_{i}", "bias")] = _np(
+            sd[f"mask_embed.layers.{i}.bias"])
+    import flax as _flax
+    params = _flax.traverse_util.unflatten_dict(p)
+
+    x = (rng.randn(1, CONV_DIM, 4, 6) * 0.5).astype(np.float32)
+    mask_feat = (rng.randn(1, CONV_DIM, 16, 24) * 0.5).astype(np.float32)
+    import torch as T
+
+    with torch.no_grad():
+        out_t = ref(T.from_numpy(x), T.from_numpy(mask_feat))
+    ours = StandardTransformerDecoder(
+        num_classes=19, hidden_dim=CONV_DIM, num_queries=NQ, nheads=NH,
+        dim_feedforward=2048, dec_layers=DEC, mask_dim=CONV_DIM,
+    )
+    out_j = ours.apply({"params": params}, np.transpose(x, (0, 2, 3, 1)),
+                       np.transpose(mask_feat, (0, 2, 3, 1)))
+    for key in ("pred_logits", "pred_masks"):
+        np.testing.assert_allclose(np.asarray(out_j[key]), out_t[key].numpy(),
+                                   atol=2e-3, rtol=1e-3, err_msg=key)
+    assert len(out_j["aux_outputs"]) == len(out_t["aux_outputs"]) == DEC - 1
+    for a_j, a_t in zip(out_j["aux_outputs"], out_t["aux_outputs"]):
+        for key in a_t:
+            np.testing.assert_allclose(np.asarray(a_j[key]), a_t[key].numpy(),
+                                       atol=2e-3, rtol=1e-3)
