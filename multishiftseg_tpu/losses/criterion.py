@@ -44,12 +44,15 @@ class CriterionConfig:
     mask_weight: float = 5.0
     dice_weight: float = 5.0
     ood_weight: float = 1.0
-    ood_loss: str = "RCL"  # margin | bce | RCL
+    ood_loss: str = "RCL"  # margin | bce | RCL | none
     margin: float = 1.0
     deep_supervision: bool = False
     # clean-point sampling constants (hard-coded in the reference, criterion.py:374-376)
     clean_importance_ratio: float = 0.95
     clean_oversample: float = 1.25
+    # reference get_loss gate (criterion.py:420-425): pixel-selection ON selects
+    # loss_masks_aug; OFF selects the plain uncertainty-sampled loss_masks.
+    mask_loss_with_pixel_selection: bool = True
 
 
 def _corner_gather_labels(labels: jax.Array, coords: jax.Array):
@@ -153,6 +156,59 @@ def _clean_point_coords(
     return jnp.concatenate([clean, rand], axis=0)
 
 
+def uncertain_point_coords(
+    rng, pred_mask: jax.Array, cfg: CriterionConfig
+) -> jax.Array:
+    """PointRend importance sampling for one mask: ``num_points * oversample_ratio``
+    uniform candidates, keep the ``importance_sample_ratio`` fraction with the
+    highest uncertainty ``-|logit|`` (``calculate_uncertainty``), fill the rest with
+    fresh uniform points (detectron2 ``get_uncertain_point_coords_with_randomness``,
+    selected by reference ``criterion.py:333-340``).
+
+    pred_mask: [Hs, Ws] logits. Returns [num_points, 2] (x, y) coords in [0, 1].
+    """
+    num_sampled = int(cfg.num_points * cfg.oversample_ratio)
+    num_uncertain = int(cfg.importance_sample_ratio * cfg.num_points)
+    num_rand = cfg.num_points - num_uncertain
+    k1, k2 = jax.random.split(rng)
+    coords = jax.random.uniform(k1, (num_sampled, 2))
+    logits = point_sample(pred_mask[None, :, :, None], coords[None])[0, :, 0]
+    _, idx = jax.lax.top_k(-jnp.abs(logits), num_uncertain)
+    out = coords[idx]
+    if num_rand > 0:
+        out = jnp.concatenate([out, jax.random.uniform(k2, (num_rand, 2))], axis=0)
+    return out
+
+
+def _plain_mask_losses(
+    rng, matched_masks: jax.Array, sem_seg: jax.Array, class_ids: jax.Array,
+    w_valid: jax.Array, num_masks: jax.Array, cfg: CriterionConfig,
+) -> Dict[str, jax.Array]:
+    """The plain uncertainty-sampled ``loss_masks`` (reference criterion.py:312-363)
+    over all matched masks — no clean/aug split, no 2x weighting.
+
+    matched_masks: [B, T, Hs, Ws]; sem_seg: [B, H, W] (values compared to class_ids);
+    class_ids: [B*T]; w_valid: [B, T].
+    """
+    b, t = matched_masks.shape[:2]
+    keys = jax.random.split(rng, b * t)
+    mm = matched_masks.reshape(b * t, *matched_masks.shape[2:])
+    lm_rep = jnp.repeat(sem_seg, t, axis=0)  # [B*T, H, W]
+
+    def one(key, pm, lm, cid):
+        coords = uncertain_point_coords(key, pm, cfg)
+        lg = point_sample(pm[None, :, :, None], coords[None])[0, :, 0]
+        tg = sample_class_points(lm[None], coords[None], cid)[0]
+        return lg, tg
+
+    logits, tgts = jax.vmap(one)(keys, mm, lm_rep, class_ids)
+    w = w_valid.reshape(-1)
+    return {
+        "loss_mask": _sigmoid_ce(logits, tgts, w) / num_masks * cfg.mask_weight,
+        "loss_dice": _dice(logits, tgts, w) / num_masks * cfg.dice_weight,
+    }
+
+
 def set_criterion(
     outputs: Dict[str, jax.Array],
     sem_seg: jax.Array,  # [B, Hp, Wp] padded label map (255 in padding)
@@ -184,6 +240,82 @@ def set_criterion(
             total = total + t_i
             losses.update({f"{k}_{i}": v for k, v in l_i.items()})
     return total, losses
+
+
+def set_criterion_instance(
+    outputs: Dict[str, jax.Array],
+    id_map: jax.Array,  # [B, H, W] segment index per pixel (ignore = any value >= T)
+    tgt_classes: jax.Array,  # [B, T] int class per segment slot, -1 = padding
+    rng: jax.Array,
+    cfg: CriterionConfig,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Instance-style criterion: per-instance ``(gt_classes, gt_masks)`` targets with
+    duplicate classes allowed (reference ``prepare_targets``,
+    ``maskformer_model.py:316-339``) in padded-T form, consuming
+    :mod:`multishiftseg_tpu.data.mappers` ``SegmentTargets`` (``id_map`` +
+    ``classes``). Losses = labels + plain uncertainty-sampled masks
+    (criterion.py:179-205, 312-363); panoptic/instance training uses no OOD loss.
+
+    With ``cfg.deep_supervision`` the match + losses repeat per aux output.
+    """
+    total, losses = _instance_output_losses(outputs, id_map, tgt_classes, rng, cfg)
+    if cfg.deep_supervision:
+        for i, aux in enumerate(outputs.get("aux_outputs", [])):
+            t_i, l_i = _instance_output_losses(
+                aux, id_map, tgt_classes, jax.random.fold_in(rng, 100 + i), cfg
+            )
+            total = total + t_i
+            losses.update({f"{k}_{i}": v for k, v in l_i.items()})
+    return total, losses
+
+
+def _instance_output_losses(
+    outputs, id_map, tgt_classes, rng, cfg
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    b, t = tgt_classes.shape
+    K = cfg.num_classes
+    pred_logits = outputs["pred_logits"].astype(jnp.float32)  # [B, Q, K+1]
+    pred_masks = outputs["pred_masks"].astype(jnp.float32)  # [B, Q, Hs, Ws]
+    valid = tgt_classes >= 0
+    # reference: num_masks = total instances across the batch (criterion.py:442-458,
+    # dist all-reduce folded in because the step jits over the global batch)
+    num_masks = jnp.maximum(jnp.sum(valid), 1).astype(jnp.float32)
+
+    k_match, k_pts = jax.random.split(rng)
+    match_coords = jax.random.uniform(k_match, (b, cfg.num_points, 2))
+    out_pts = _sample_pred_points(pred_masks, match_coords)
+    # slot masks are (id_map == t): identical bilinear sampling to the semantic path
+    # with "classes" = slot indices
+    tgt_pts = sample_target_points(id_map, match_coords, t)
+    assignment = jax.lax.stop_gradient(
+        match(
+            pred_logits, out_pts, tgt_pts, valid,
+            cost_class_w=cfg.class_weight, cost_mask_w=cfg.mask_weight,
+            cost_dice_w=cfg.dice_weight, tgt_classes=tgt_classes,
+        )
+    )  # [B, T] query per target slot
+
+    # loss_labels with duplicate classes: scatter each slot's class at its matched
+    # query (assignment is injective over slots, so collision-free)
+    batch_idx = jnp.arange(b)[:, None]
+    target_classes = jnp.full((b, pred_logits.shape[1]), K, jnp.int32)
+    target_classes = target_classes.at[batch_idx, assignment].set(
+        jnp.where(valid, tgt_classes, K).astype(jnp.int32)
+    )
+    logp = jax.nn.log_softmax(pred_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, target_classes[..., None], axis=-1)[..., 0]
+    class_w = jnp.where(target_classes == K, cfg.eos_coef, 1.0)
+    loss_ce = jnp.sum(nll * class_w) / jnp.sum(class_w)
+
+    matched_masks = pred_masks[batch_idx, assignment]  # [B, T, Hs, Ws]
+    losses = {
+        "loss_ce": loss_ce * cfg.class_weight,
+        **_plain_mask_losses(
+            k_pts, matched_masks, id_map,
+            jnp.tile(jnp.arange(t), b), valid.astype(jnp.float32), num_masks, cfg,
+        ),
+    }
+    return sum(losses.values()), losses
 
 
 def _single_output_losses(
@@ -233,10 +365,24 @@ def _single_output_losses(
     class_w = jnp.where(target_classes == K, cfg.eos_coef, 1.0)
     loss_ce = jnp.sum(nll * class_w) / jnp.sum(class_w)
 
-    # ---------------- loss_masks_aug (criterion.py:244-310) -----------------------
     matched_masks = pred_masks[batch_idx, assignment]  # [B, K, Hs, Ws]
     w_valid = valid.astype(jnp.float32)
 
+    if not cfg.mask_loss_with_pixel_selection:
+        # ------------ plain loss_masks (criterion.py:312-363, get_loss :420-425) --
+        losses = {
+            "loss_ce": loss_ce * cfg.class_weight,
+            **_plain_mask_losses(
+                k_orig, matched_masks, sem_seg,
+                jnp.tile(jnp.arange(K), b), w_valid, num_masks, cfg,
+            ),
+        }
+        return _finish_ood_loss(
+            outputs, sem_seg, rng, cfg, rcl_params, crop_hw, pred_logits,
+            pred_masks, losses,
+        )
+
+    # ---------------- loss_masks_aug (criterion.py:244-310) -----------------------
     # clean half: fresh uniform random points per mask
     orig_coords = jax.random.uniform(k_orig, (half, K, cfg.num_points, 2))
     om = matched_masks[:half].reshape(half * K, *matched_masks.shape[2:])
@@ -272,8 +418,20 @@ def _single_output_losses(
         "loss_aug_mask": loss_aug_mask * cfg.mask_weight,
         "loss_aug_dice": loss_aug_dice * cfg.dice_weight,
     }
+    return _finish_ood_loss(
+        outputs, sem_seg, rng, cfg, rcl_params, crop_hw, pred_logits, pred_masks,
+        losses,
+    )
 
+
+def _finish_ood_loss(
+    outputs, sem_seg, rng, cfg, rcl_params, crop_hw, pred_logits, pred_masks, losses
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     # ---------------- loss_ood (criterion.py:128-187) -----------------------------
+    if cfg.ood_loss == "none":
+        # vanilla (non-anomaly) training: losses = [labels, masks] only
+        # (reference from_config adds "ood" only under OOD_FINETUNE).
+        return sum(losses.values()), losses
     ood_masks_ = (sem_seg > 100) & (sem_seg != 255)
     hw = sem_seg.shape[-2:]
     sem_probs = jax.nn.softmax(pred_logits, axis=-1)[..., :-1]

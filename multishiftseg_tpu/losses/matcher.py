@@ -135,12 +135,19 @@ def compute_match_cost(
     cost_class_w: float,
     cost_mask_w: float,
     cost_dice_w: float,
+    tgt_classes: jax.Array = None,  # [T] int class per slot (instance mode)
 ) -> jax.Array:
     """[Q, T] total matching cost; invalid targets get a large constant cost."""
     probs = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)
     t = tgt_points.shape[0]
-    # semantic targets: slot t is class t
-    cost_class = -probs[:, :t]
+    if tgt_classes is None:
+        # semantic targets: slot t is class t
+        cost_class = -probs[:, :t]
+    else:
+        # instance targets: slot t is class tgt_classes[t] (duplicates allowed,
+        # reference matcher.py:118 ``-out_prob[:, tgt_ids]``); invalid (-1) slots
+        # read class 0 and are masked to BIG below.
+        cost_class = -probs[:, jnp.clip(tgt_classes, 0, probs.shape[1] - 1)]
     cost = (
         cost_class_w * cost_class
         + cost_mask_w * batch_sigmoid_ce_cost(out_points.astype(jnp.float32), tgt_points)
@@ -157,13 +164,18 @@ def match(
     cost_class_w: float = 2.0,
     cost_mask_w: float = 5.0,
     cost_dice_w: float = 5.0,
+    tgt_classes: jax.Array = None,  # [B, T] (instance mode)
 ) -> jax.Array:
     """Batched matching. Returns query index per target slot [B, T]."""
 
-    def per_image(pl, op, tp, va):
+    def per_image(pl, op, tp, va, tc):
         cost = compute_match_cost(
-            pl, op, tp, va, cost_class_w, cost_mask_w, cost_dice_w
+            pl, op, tp, va, cost_class_w, cost_mask_w, cost_dice_w, tgt_classes=tc
         )
         return linear_sum_assignment(cost.T)  # rows = targets
 
-    return jax.vmap(per_image)(pred_logits, out_points, tgt_points, valid)
+    if tgt_classes is None:
+        return jax.vmap(lambda pl, op, tp, va: per_image(pl, op, tp, va, None))(
+            pred_logits, out_points, tgt_points, valid
+        )
+    return jax.vmap(per_image)(pred_logits, out_points, tgt_points, valid, tgt_classes)

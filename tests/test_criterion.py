@@ -137,3 +137,120 @@ def test_deep_supervision_repeats_losses(rng):
     assert "loss_ce_0" in losses and "loss_ce_1" in losses
     assert "loss_ood_1" in losses
     assert np.isfinite(float(total))
+
+
+def test_uncertain_point_coords_semantics():
+    """PointRend importance sampling (reference criterion.py:333-340 via detectron2
+    get_uncertain_point_coords_with_randomness): with |logits| huge everywhere except
+    a stripe where logits ~ 0, every importance-sampled point must land in the
+    stripe; the random tail is uniform in [0, 1]^2."""
+    from multishiftseg_tpu.losses.criterion import uncertain_point_coords
+
+    h, w = 64, 64
+    mask = np.full((h, w), 30.0, np.float32)
+    mask[:, 24:40] = 0.0  # most-uncertain stripe: x in [0.375, 0.625]
+    cfg = CriterionConfig(num_points=128, oversample_ratio=3.0,
+                          importance_sample_ratio=0.75)
+    coords = np.asarray(
+        uncertain_point_coords(jax.random.PRNGKey(0), jnp.asarray(mask), cfg)
+    )
+    assert coords.shape == (128, 2)
+    n_unc = int(0.75 * 128)
+    xs = coords[:n_unc, 0]
+    # bilinear sampling of the stripe: points strictly inside have |logit| < points
+    # outside, and 3x oversampling of 128 points puts ~96 candidates in the stripe
+    # (width 0.25 -> ~96 expected) — allow boundary-interpolation slack.
+    inside = (xs > 24 / w - 1.5 / w) & (xs < 40 / w + 0.5 / w)
+    assert inside.mean() > 0.95, inside.mean()
+    assert (coords >= 0).all() and (coords <= 1).all()
+
+
+def test_plain_loss_masks_path(rng):
+    """mask_loss_with_pixel_selection=False selects the plain uncertainty-sampled
+    loss_masks (reference get_loss, criterion.py:420-425)."""
+    cfg = CriterionConfig(num_classes=5, num_points=64, ood_loss="margin",
+                          mask_loss_with_pixel_selection=False)
+    outputs = _tiny_outputs(rng)
+    sem = _tiny_sem(rng)
+    total, losses = jax.jit(
+        lambda o, s: set_criterion(o, s, jax.random.PRNGKey(0), cfg)
+    )(outputs, sem)
+    assert {"loss_ce", "loss_mask", "loss_dice", "loss_ood"} == set(losses.keys())
+    assert np.isfinite(float(total))
+
+    def f(o):
+        t, _ = set_criterion(o, sem, jax.random.PRNGKey(0), cfg)
+        return t
+
+    g = jax.grad(f)(outputs)
+    assert np.abs(np.asarray(g["pred_masks"])).sum() > 0
+
+
+def test_plain_loss_masks_no_ood(rng):
+    """ood_loss='none' drops the OOD loss entirely (vanilla Mask2Former training)."""
+    cfg = CriterionConfig(num_classes=5, num_points=64, ood_loss="none",
+                          mask_loss_with_pixel_selection=False)
+    outputs = _tiny_outputs(rng)
+    sem = _tiny_sem(rng)
+    total, losses = set_criterion(outputs, sem, jax.random.PRNGKey(0), cfg)
+    assert {"loss_ce", "loss_mask", "loss_dice"} == set(losses.keys())
+    assert np.isfinite(float(total))
+
+
+def test_instance_criterion_duplicate_classes(rng):
+    """Instance-target mode: two instances of the SAME class get matched to two
+    DIFFERENT queries via the mask costs (reference prepare_targets semantics,
+    maskformer_model.py:316-339 + matcher.py:118 -out_prob[:, tgt_ids])."""
+    from multishiftseg_tpu.losses.criterion import set_criterion_instance
+
+    b, h, w, q, k = 2, 32, 32, 8, 5
+    id_map = np.full((b, h, w), 255, np.int32)
+    id_map[:, :, :10] = 0     # instance 0: class 2, left
+    id_map[:, :, 22:] = 1     # instance 1: class 2, right (duplicate class)
+    id_map[0, :10, 12:20] = 2 # instance 2 (image 0 only): class 4
+    tgt_classes = np.asarray([[2, 2, 4], [2, 2, -1]], np.int32)  # image 1: 1 pad
+
+    # queries 0/1 predict the two class-2 instances, query 3 (image 0) the class-4 one
+    masks = np.full((b, q, h, w), -10.0, np.float32)
+    masks[:, 0, :, :10] = 10.0
+    masks[:, 1, :, 22:] = 10.0
+    masks[0, 3, :10, 12:20] = 10.0
+    logits = np.zeros((b, q, k + 1), np.float32)
+    logits[:, 0, 2] = 20.0
+    logits[:, 1, 2] = 20.0
+    logits[0, 3, 4] = 20.0
+    logits[1, 3, k] = 20.0
+    logits[:, [2, 4, 5, 6, 7], k] = 20.0
+    outputs = {"pred_logits": jnp.asarray(logits), "pred_masks": jnp.asarray(masks)}
+    cfg = CriterionConfig(num_classes=k, num_points=256, ood_loss="none",
+                          mask_loss_with_pixel_selection=False)
+    total, losses = jax.jit(
+        lambda o, i, t: set_criterion_instance(o, i, t, jax.random.PRNGKey(0), cfg)
+    )(outputs, jnp.asarray(id_map), jnp.asarray(tgt_classes))
+    assert np.isfinite(float(total))
+    # a perfect duplicate-class prediction must produce near-zero ce + tiny mask loss
+    assert float(losses["loss_ce"]) < 0.01
+    assert float(losses["loss_dice"]) < 0.5
+
+    # assignment parity vs scipy on the same cost (reference matcher semantics)
+    from scipy.optimize import linear_sum_assignment as scipy_lsa
+
+    from multishiftseg_tpu.losses.criterion import (
+        _sample_pred_points, sample_target_points)
+    from multishiftseg_tpu.losses.matcher import compute_match_cost, match
+
+    coords = jax.random.uniform(jax.random.split(jax.random.PRNGKey(5))[0],
+                                (b, 256, 2))
+    out_pts = _sample_pred_points(jnp.asarray(masks), coords)
+    tgt_pts = sample_target_points(jnp.asarray(id_map), coords, 3)
+    valid = jnp.asarray(tgt_classes) >= 0
+    got = np.asarray(match(jnp.asarray(logits), out_pts, tgt_pts, valid,
+                           tgt_classes=jnp.asarray(tgt_classes)))
+    for bi in range(b):
+        cost = np.asarray(compute_match_cost(
+            jnp.asarray(logits[bi]), out_pts[bi], tgt_pts[bi], valid[bi],
+            2.0, 5.0, 5.0, tgt_classes=jnp.asarray(tgt_classes[bi])))
+        rows, cols = scipy_lsa(cost.T)  # rows = targets
+        np.testing.assert_array_equal(got[bi], cols)
+    # the two duplicate-class instances matched to the two distinct mask queries
+    assert set(got[0][:2]) == {0, 1}
