@@ -32,6 +32,23 @@ ITERS = 8
 TARGET_IMG_S = 10.0  # 2x estimated A100 reference throughput
 
 
+def _noise_like(variables, img):
+    """Noise input + perturbed params: a zeros image through a random-init bf16 model
+    can let XLA shortcut degenerate fusions (all-False keep masks, zero-kernel heads);
+    realistic-magnitude noise dodges constant-folding flattery."""
+    img = jax.random.normal(jax.random.PRNGKey(1), img.shape, img.dtype)
+    noise = jax.tree_util.tree_map(
+        lambda p, k: p + 0.01 * jax.random.normal(k, p.shape, p.dtype),
+        variables,
+        jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(variables),
+            list(jax.random.split(jax.random.PRNGKey(2),
+                                  jax.tree_util.tree_structure(variables).num_leaves)),
+        ),
+    )
+    return noise, img
+
+
 def bench_m2f():
     from multishiftseg_tpu.models.maskformer import MaskFormer, inference
 
@@ -40,6 +57,7 @@ def bench_m2f():
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 128, 256, 3)), train=False
     )
+    variables, img = _noise_like(variables, img)
 
     @jax.jit
     def fwd(variables, img):
@@ -58,6 +76,7 @@ def bench_deeplab():
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 128, 256, 3)), train=False
     )
+    variables, img = _noise_like(variables, img)
 
     @jax.jit
     def fwd(variables, img):

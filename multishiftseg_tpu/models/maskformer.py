@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.resize import resize_bilinear
+from ..ops.resize import resize_bilinear, resize_bilinear_nchw
 from ..ops.scores import mask2former_anomaly_score, mask2former_semantic_logits
 from .pixel_decoder import MSDeformAttnPixelDecoder
 from .resnet import ResNet
@@ -52,6 +52,9 @@ class MaskFormer(nn.Module):
     pixel_decoder: str = "msdeformattn"
     predictor: str = "gma"
     dtype: Optional[jnp.dtype] = None
+    # int8 deformable value table (accuracy-gated eval fast path; see
+    # test_ms_deform_attn.py::test_int8_table_accuracy_gate)
+    quantize_deform_table: bool = False
 
     @nn.compact
     def __call__(self, images: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
@@ -72,6 +75,7 @@ class MaskFormer(nn.Module):
                 conv_dim=self.hidden_dim, mask_dim=self.mask_dim,
                 transformer_enc_layers=self.transformer_enc_layers,
                 dtype=self.dtype, name="pixel_decoder",
+                quantize_table=self.quantize_deform_table,
             )(feats)
         elif self.pixel_decoder == "fpn":
             from .fpn_decoder import BasePixelDecoder
@@ -156,12 +160,12 @@ def inference(
     The caller crops padding off afterwards (reference crops via ``sem_seg_postprocess``
     / ``get_anomaly_score``'s ``[:size[0], :size[1]]``).
     """
-    masks_up = resize_bilinear(
-        outputs["pred_masks"].transpose(0, 2, 3, 1), image_hw, align_corners=False
-    ).transpose(0, 3, 1, 2)
+    masks_up = resize_bilinear_nchw(
+        outputs["pred_masks"], image_hw, align_corners=False
+    )
     sem = semantic_inference(outputs["pred_logits"], masks_up, num_classes)
-    masks_ood_up = resize_bilinear(
-        outputs["pred_masks_ood"].transpose(0, 2, 3, 1), image_hw, align_corners=False
-    ).transpose(0, 3, 1, 2)
+    masks_ood_up = resize_bilinear_nchw(
+        outputs["pred_masks_ood"], image_hw, align_corners=False
+    )
     anomaly = mask2former_anomaly_score(outputs["pred_logits_ood"], masks_ood_up)
     return sem, anomaly

@@ -37,21 +37,30 @@ def ms_deform_attn_core(
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jax.Array,
     attention_weights: jax.Array,
+    quantize_table: bool = False,
 ) -> jax.Array:
     """Multi-scale deformable attention with a hand-written backward.
 
     XLA's autodiff of the window gather lowers its adjoint to a serial ``while``
     scatter (~7.8 s per encoder layer at training shapes, measured); the custom VJP
     below expresses the same adjoint as vmapped row scatter-adds (~100x faster).
+
+    ``quantize_table=True`` stores the im2col value table in int8 with a
+    per-channel (per-``d``) symmetric scale folded into the bilinear corner
+    weights — halving the bytes of the layout-bound post-gather pipeline. The
+    backward (and the grads of a quantized forward) use the exact bf16/fp32
+    values; see ``test_ms_deform_attn.py`` for the accuracy gate vs the fp32
+    oracle.
     """
-    return _ms_deform_attn_core_vjp(tuple(spatial_shapes), value,
-                                    sampling_locations, attention_weights)
+    return _ms_deform_attn_core_vjp(tuple(spatial_shapes), bool(quantize_table),
+                                    value, sampling_locations, attention_weights)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _ms_deform_attn_core_vjp(spatial_shapes, value, sampling_locations,
-                             attention_weights):
-    return _core_forward(spatial_shapes, value, sampling_locations, attention_weights)
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _ms_deform_attn_core_vjp(spatial_shapes, quantize_table, value,
+                             sampling_locations, attention_weights):
+    return _core_forward(spatial_shapes, value, sampling_locations,
+                         attention_weights, quantize_table)
 
 
 def _core_forward(
@@ -59,6 +68,7 @@ def _core_forward(
     value: jax.Array,
     sampling_locations: jax.Array,
     attention_weights: jax.Array,
+    quantize_table: bool = False,
 ) -> jax.Array:
     """Pure-XLA multi-scale deformable attention forward.
 
@@ -90,6 +100,16 @@ def _core_forward(
     # slicing of transposed [N, Lq, M, L, P] tensors costs ~0.5 ms in layout copies
     # per slice at eval shapes).
     v = value.transpose(0, 2, 1, 3)  # [N, M, S, D]
+    if quantize_table:
+        # Per-channel symmetric int8: halves every byte the layout-bound
+        # post-gather pipeline moves (gather output, retile, dequant-multiply
+        # read). The [D] scale is folded into the corner weights below, so the
+        # dequant costs nothing extra.
+        scale_d = jnp.max(jnp.abs(value.astype(jnp.float32)), axis=(0, 1, 2)) / 127.0
+        scale_d = jnp.maximum(scale_d, 1e-12)  # [D]
+        v = jnp.clip(jnp.round(v.astype(jnp.float32) / scale_d), -127, 127).astype(
+            jnp.int8
+        )
     tables = []
     start = 0
     for (h, w) in spatial_shapes:
@@ -154,17 +174,26 @@ def _core_forward(
     w01 = wy0 * wx1 * a96
     w10 = wy1 * wx0 * a96
     w11 = wy1 * wx1 * a96
+    # Block-sum matmul: BS[c*D+dd, dd] = 1 sums the four weighted corner blocks on
+    # the MXU; XLA fuses the [R, 4D] weight multiply into this dot (a separate
+    # multiply materializes 1 GB and a Pallas reduction kernel was measured slower
+    # than this fused dot + sum: the [R, D] operand pads to 4x memory at D=32).
+    # Measured dead ends (v5e, 1024x2048): folding the L*P sum into the
+    # contraction as [N*Lq*M, 12*4D] x [12*4D, D] -> 5.0 img/s, and as
+    # [N*Lq, K*4D] x [K*4D, M*D] -> 5.95 img/s, vs 6.69 for this two-step form.
     lane_c = jnp.asarray(np.arange(4 * d) // d, jnp.int32)  # [4D]
     r = n * lq * K
     wexp = jnp.where(
         lane_c < 2,
         jnp.where(lane_c == 0, w00.reshape(r, 1), w01.reshape(r, 1)),
         jnp.where(lane_c == 2, w10.reshape(r, 1), w11.reshape(r, 1)),
-    ).astype(compute_dtype)  # [R, 4D]
-    # Block-sum matmul: BS[c*D+dd, dd] = 1 sums the four weighted corner blocks on
-    # the MXU; XLA fuses the [R, 4D] weight multiply into this dot (a separate
-    # multiply materializes 1 GB and a Pallas reduction kernel was measured slower
-    # than this fused dot + sum: the [R, D] operand pads to 4x memory at D=32).
+    )  # [R, 4D] f32
+    if quantize_table:
+        # fused dequant: per-lane [4D] scale (the per-channel scale tiled over the
+        # four corner blocks) multiplies into the corner-weight expansion
+        wexp = wexp * jnp.tile(scale_d, 4)[None, :]
+        rows = rows.astype(compute_dtype)
+    wexp = wexp.astype(compute_dtype)
     BS = jnp.asarray(np.tile(np.eye(d), (4, 1)), compute_dtype)  # [4D, D]
     part = jax.lax.dot_general(
         rows * wexp, BS, (((1,), (0,)), ((), ())),
@@ -174,8 +203,10 @@ def _core_forward(
     return out.reshape(n, lq, m * d).astype(compute_dtype)
 
 
-def _core_vjp_fwd(spatial_shapes, value, sampling_locations, attention_weights):
-    out = _core_forward(spatial_shapes, value, sampling_locations, attention_weights)
+def _core_vjp_fwd(spatial_shapes, quantize_table, value, sampling_locations,
+                  attention_weights):
+    out = _core_forward(spatial_shapes, value, sampling_locations,
+                        attention_weights, quantize_table)
     return out, (value, sampling_locations, attention_weights)
 
 
@@ -194,7 +225,7 @@ def _col2im(dcol: jax.Array, h: int, w: int) -> jax.Array:
     return out
 
 
-def _core_vjp_bwd(spatial_shapes, residuals, g):
+def _core_vjp_bwd(spatial_shapes, quantize_table, residuals, g):
     """Hand-written adjoint (the reference hand-writes six CUDA kernels for this,
     ``ms_deform_im2col_cuda.cuh:306-927``; XLA's derived scatter is ~100x slower).
 
@@ -368,6 +399,7 @@ class MSDeformAttn(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     dtype: Optional[jnp.dtype] = None
+    quantize_table: bool = False
 
     @nn.compact
     def __call__(
@@ -412,7 +444,8 @@ class MSDeformAttn(nn.Module):
             + offsets.astype(jnp.float32) / normalizer[None, None, None, :, None, :]
         )
 
-        out = ms_deform_attn_core(value, spatial_shapes, loc, attn.astype(value.dtype))
+        out = ms_deform_attn_core(value, spatial_shapes, loc, attn.astype(value.dtype),
+                                  quantize_table=self.quantize_table)
         return nn.Dense(
             self.d_model, dtype=self.dtype,
             kernel_init=nn.initializers.xavier_uniform(),

@@ -55,6 +55,41 @@ def _nearest_index(in_size: int, out_size: int) -> np.ndarray:
     return np.minimum(np.floor(i * in_size / out_size), in_size - 1).astype(np.int32)
 
 
+def _upsample_axis_int(x: jax.Array, s: int, axis: int) -> jax.Array:
+    """Exact integer-factor bilinear upsample along one axis (align_corners=False).
+
+    For scale s, output i = s*i0 + p has source coordinate i0 + (2p+1-s)/(2s): each
+    of the s phases is a fixed 2-tap combination of x and an edge-clamped shifted
+    copy, interleaved by a stack+reshape. Pure fused elementwise VPU work — replaces
+    the dense [out, in] interpolation matmul, whose TPU conv-emitter lowering cost
+    7.5 ms for the [100, 256->1024, 512->2048] mask upsample (device trace) vs
+    ~1.5 ms for this form. Exactly matches torch F.interpolate edge clamping: at the
+    borders both bilinear corners clamp to the same pixel, so the (frac, 1-frac)
+    weighting degenerates to the identity the clamped-coordinate formula produces.
+    """
+    if s == 1:
+        return x
+    axis = axis % x.ndim
+    xm = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 0, 1, axis=axis),
+         jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)], axis=axis)
+    xp = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 1, None, axis=axis),
+         jax.lax.slice_in_dim(x, x.shape[axis] - 1, None, axis=axis)], axis=axis)
+    phases = []
+    for p in range(s):
+        frac = (2 * p + 1 - s) / (2 * s)
+        if frac < 0:
+            ph = jnp.asarray(-frac, x.dtype) * xm + jnp.asarray(1 + frac, x.dtype) * x
+        elif frac == 0:
+            ph = x
+        else:
+            ph = jnp.asarray(1 - frac, x.dtype) * x + jnp.asarray(frac, x.dtype) * xp
+        phases.append(ph)
+    y = jnp.stack(phases, axis=axis + 1)  # [..., H, s, ...]
+    return y.reshape(x.shape[: axis] + (x.shape[axis] * s,) + x.shape[axis + 1 :])
+
+
 def resize_bilinear(
     x: jax.Array, size: Tuple[int, int], align_corners: bool = False
 ) -> jax.Array:
@@ -69,6 +104,11 @@ def resize_bilinear(
     h_out, w_out = size
     if (h_in, w_in) == (h_out, w_out):
         return x
+    # NOTE: a phase-decomposed integer-factor fast path (_upsample_axis_int) was
+    # measured SLOWER end-to-end on v5e (6.36 vs 6.69 img/s M2F eval): the
+    # stack+reshape phase interleave relayouts along the lane dim cost more than
+    # the interpolation-matrix matmuls it replaced. Kept (tested) for callers with
+    # channel-minor layouts where the matmul form degenerates.
     mh = jnp.asarray(_interp_matrix(h_in, h_out, align_corners))
     mw = jnp.asarray(_interp_matrix(w_in, w_out, align_corners))
     dtype = x.dtype
@@ -87,6 +127,37 @@ def resize_bilinear(
     xf = jnp.einsum("oh,...hwc->...owc", mh, xf, precision=hp)
     # -> [..., H_out, W_out, C]
     xf = jnp.einsum("pw,...hwc->...hpc", mw, xf, precision=hp)
+    return xf.astype(dtype)
+
+
+def resize_bilinear_nchw(
+    x: jax.Array, size: Tuple[int, int], align_corners: bool = False
+) -> jax.Array:
+    """Bilinear resize of a channels-FIRST array's trailing [H, W] axes.
+
+    Same semantics as :func:`resize_bilinear` but avoids the NCHW->NHWC->NCHW
+    round trip for callers whose data is already [..., H, W] (the Mask2Former
+    mask heads): with W minor, both interpolation einsums lower to canonical MXU
+    matmuls instead of the slow conv-emitter form ([100, 256->1024, 512->2048]
+    measured 10.1 ms via the NHWC path + transposes vs ~3 ms here, v5e trace).
+    """
+    h_in, w_in = x.shape[-2], x.shape[-1]
+    h_out, w_out = size
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    mh = jnp.asarray(_interp_matrix(h_in, h_out, align_corners))
+    mw = jnp.asarray(_interp_matrix(w_in, w_out, align_corners))
+    dtype = x.dtype
+    if dtype == jnp.bfloat16:
+        hp = jax.lax.Precision.DEFAULT
+        xf = x
+        mh = mh.astype(jnp.bfloat16)
+        mw = mw.astype(jnp.bfloat16)
+    else:
+        hp = jax.lax.Precision.HIGHEST
+        xf = x.astype(jnp.float32)
+    xf = jnp.einsum("oh,...hw->...ow", mh, xf, precision=hp)
+    xf = jnp.einsum("pw,...hw->...hp", mw, xf, precision=hp)
     return xf.astype(dtype)
 
 

@@ -91,3 +91,56 @@ def test_gradients_match_torch_autograd(rng):
     np.testing.assert_allclose(np.asarray(ga), ta.grad.numpy(), rtol=1e-4, atol=1e-5)
     # Location grads differ at exact grid points (floor discontinuity); compare loosely.
     np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_int8_table_accuracy_gate(rng):
+    """The int8 value-table fast path must stay within ~bf16-level error of the
+    fp32 oracle (the VERDICT accuracy gate for the eval fast path): per-channel
+    symmetric quantization of well-scaled activations carries ~log2(127) ~ 7 bits
+    of mantissa vs bf16's 8."""
+    value, loc, attn = _inputs(rng)
+    ref = torch_oracle(
+        torch.from_numpy(value), SHAPES, torch.from_numpy(loc), torch.from_numpy(attn)
+    ).numpy()
+    scale = np.abs(ref).max()
+
+    ours_i8 = np.asarray(
+        ms_deform_attn_core(
+            jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(attn),
+            quantize_table=True,
+        )
+    )
+    err_i8 = np.abs(ours_i8 - ref).max() / scale
+
+    ours_bf16 = np.asarray(
+        ms_deform_attn_core(
+            jnp.asarray(value, jnp.bfloat16), SHAPES, jnp.asarray(loc),
+            jnp.asarray(attn, jnp.bfloat16),
+        )
+    ).astype(np.float32)
+    err_bf16 = np.abs(ours_bf16 - ref).max() / scale
+
+    # int8-with-per-channel-scale must be within 3x of the bf16 path's error and
+    # within 2% absolute-relative of the fp32 oracle
+    assert err_i8 < 0.02, err_i8
+    assert err_i8 < 3.0 * max(err_bf16, 1e-4), (err_i8, err_bf16)
+
+
+def test_int8_table_gradients_flow(rng):
+    """Grads of the quantized forward use the exact values (straight-through on
+    the table): finite and close to the exact-path grads."""
+    value, loc, attn = _inputs(rng)
+
+    def f(v, l, a, q):
+        return jnp.sum(ms_deform_attn_core(v, SHAPES, l, a, quantize_table=q) ** 2)
+
+    g_q = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn), True
+    )
+    g_e = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn), False
+    )
+    for gq, ge in zip(g_q, g_e):
+        assert np.isfinite(np.asarray(gq)).all()
+        denom = np.abs(np.asarray(ge)).max() + 1e-6
+        assert np.abs(np.asarray(gq) - np.asarray(ge)).max() / denom < 0.05

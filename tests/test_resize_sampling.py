@@ -13,7 +13,16 @@ from multishiftseg_tpu.ops.sampling import grid_sample, point_sample
 
 @pytest.mark.parametrize("align", [True, False])
 @pytest.mark.parametrize(
-    "in_hw,out_hw", [((13, 17), (29, 31)), ((32, 32), (8, 8)), ((7, 9), (7, 9))]
+    "in_hw,out_hw",
+    [
+        ((13, 17), (29, 31)),
+        ((32, 32), (8, 8)),
+        ((7, 9), (7, 9)),
+        # exact integer factors: the phase-decomposed fast path (align=False)
+        ((16, 32), (64, 128)),
+        ((8, 8), (16, 48)),
+        ((5, 6), (15, 6)),
+    ],
 )
 def test_resize_bilinear_matches_torch(rng, align, in_hw, out_hw):
     x = rng.randn(2, *in_hw, 5).astype(np.float32)
@@ -80,3 +89,16 @@ def test_point_sample_range01(rng):
         .numpy()
     )
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("align", [True, False])
+@pytest.mark.parametrize("in_hw,out_hw", [((13, 17), (29, 31)), ((16, 32), (64, 128))])
+def test_resize_bilinear_nchw_matches_torch(rng, align, in_hw, out_hw):
+    from multishiftseg_tpu.ops.resize import resize_bilinear_nchw
+
+    x = rng.randn(2, 5, *in_hw).astype(np.float32)  # NCHW
+    ours = np.asarray(resize_bilinear_nchw(jnp.asarray(x), out_hw, align_corners=align))
+    ref = F.interpolate(
+        torch.from_numpy(x), size=out_hw, mode="bilinear", align_corners=align
+    ).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)

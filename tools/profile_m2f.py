@@ -77,6 +77,9 @@ def main():
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 128, 256, 3)), train=False
     )
+    from bench import _noise_like
+
+    variables, img = _noise_like(variables, img)
 
     @jax.jit
     def fwd(variables, img):
