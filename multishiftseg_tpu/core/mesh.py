@@ -82,6 +82,23 @@ def fit_mesh_to_batch(global_batch: int, num_devices: int = 0) -> Mesh:
     return make_mesh(num_devices=n)
 
 
+def make_train_mesh(global_rows: int, num_devices: int = 0) -> Mesh:
+    """The trainers' mesh: single-process -> :func:`fit_mesh_to_batch` over local
+    devices; multi-process -> the host-major :func:`make_global_mesh` (refusing
+    batch sizes the global data axis cannot divide — silent truncation would
+    desynchronize the hosts' jit programs)."""
+    if jax.process_count() > 1:
+        mesh = make_global_mesh()
+        n = mesh.shape[DATA_AXIS]
+        if global_rows % n != 0:
+            raise ValueError(
+                f"global batch rows {global_rows} not divisible by the global "
+                f"data axis ({n} devices over {jax.process_count()} hosts)"
+            )
+        return mesh
+    return fit_mesh_to_batch(global_rows, num_devices)
+
+
 def default_device_count(requested: int = 0) -> int:
     if requested:
         return requested

@@ -44,7 +44,14 @@ class Loader:
         seed: int = 0,
         prefetch: int = 2,
         device_put: Optional[Callable] = None,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
+        """``shard_index``/``shard_count`` implement the multi-host loading
+        contract (``core.mesh.local_batch_slice``): every host draws the SAME
+        seeded global shuffle, the global batch is ``batch_size * shard_count``
+        samples, and this host fetches only its contiguous ``batch_size`` slice —
+        host-major, matching ``make_global_mesh``'s data-axis layout."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -53,18 +60,24 @@ class Loader:
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
         self.device_put = device_put
+        assert 0 <= shard_index < shard_count
+        self.shard_index = shard_index
+        self.shard_count = shard_count
 
     def __len__(self):
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        gb = self.batch_size * self.shard_count
+        return n // gb if self.drop_last else -(-n // gb)
 
     def __iter__(self) -> Iterator[Tuple]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
         nb = len(self)
+        gb = self.batch_size * self.shard_count
+        lo = self.shard_index * self.batch_size
         batches = [
-            order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)
+            order[i * gb + lo : i * gb + lo + self.batch_size] for i in range(nb)
         ]
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

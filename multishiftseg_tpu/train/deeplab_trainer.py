@@ -24,7 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import Config
-from ..core.mesh import DATA_AXIS, data_sharded, fit_mesh_to_batch, make_mesh, replicated
+from ..core.mesh import (
+    DATA_AXIS, data_sharded, fit_mesh_to_batch, make_mesh, make_train_mesh,
+    replicated, shard_global_batch,
+)
 from ..data.anomaly import RoadAnomaly21
 from ..data.cityscapes import DiverseCityscapes
 from ..data.loader import Loader, pad_to_multiple
@@ -38,10 +41,16 @@ from .state import TrainState, build_stage_optimizer
 log = logging.getLogger(__name__)
 
 
-def make_train_step(model: DeepWV3Plus, tx, rcl_params: RCLParams):
-    """Jitted paired-batch train step. batch = (img [2B,H,W,3], target [2B,H,W])."""
+def make_train_step(model: DeepWV3Plus, tx, rcl_params: RCLParams,
+                    paired: bool = False):
+    """Jitted paired-batch train step. batch = (img [2B,H,W,3], target [2B,H,W]).
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    With ``paired=True`` the step takes the clean and generated halves as FOUR
+    separate arrays and concatenates them inside jit: under a multi-host mesh each
+    host feeds only its local slice of each half (``local_batch_slice``), and the
+    in-jit concat reassembles the global [clean ‖ augmented] order the RCL loss
+    splits at (a host-side concat would interleave the halves per host)."""
+
     def train_step(state: TrainState, img, target):
         rng, step_rng, drop_rng = jax.random.split(state.rng, 3)
 
@@ -69,7 +78,18 @@ def make_train_step(model: DeepWV3Plus, tx, rcl_params: RCLParams):
         )
         return new_state, loss, aux
 
-    return train_step
+    if paired:
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def paired_step(state, img_c, img_g, tgt_c, tgt_g):
+            return train_step(
+                state,
+                jnp.concatenate([img_c, img_g], 0),
+                jnp.concatenate([tgt_c, tgt_g], 0),
+            )
+
+        return paired_step
+    return jax.jit(train_step, donate_argnums=(0,))
 
 
 def make_eval_step(model: DeepWV3Plus):
@@ -86,9 +106,16 @@ class TrainDeepLabOOD:
     def __init__(self, cfg: Config, weight_path: Optional[str] = None,
                  model: Optional[DeepWV3Plus] = None):
         self.cfg = cfg
-        # paired clean||augmented batch is 2x train_batch on the leading axis
-        self.mesh = fit_mesh_to_batch(2 * cfg.train.train_batch,
-                                      cfg.train.num_devices)
+        # the clean and generated halves are sharded separately (the paired step
+        # concatenates them inside jit), so the data axis must divide ONE half;
+        # under a multi-process launch this is the host-major global mesh
+        self.mesh = make_train_mesh(cfg.train.train_batch, cfg.train.num_devices)
+        if cfg.train.train_batch % jax.process_count() != 0:
+            raise ValueError(
+                f"train_batch {cfg.train.train_batch} not divisible by "
+                f"{jax.process_count()} hosts"
+            )
+        self.local_batch = cfg.train.train_batch // jax.process_count()
         self.model = model or DeepWV3Plus(
             num_classes=cfg.data.class_num,
             dtype=jnp.bfloat16 if cfg.train.bf16 else None,
@@ -150,9 +177,12 @@ class TrainDeepLabOOD:
     def train(self, start_epoch: int = 0, resume: Optional[str] = None):
         cfg = self.cfg
         train_ds, val_ds = self.build_datasets()
+        # Each host loads only its contiguous slice of the globally-shuffled batch
+        # (the local_batch_slice contract; host-major mesh keeps rows local).
         loader = Loader(
-            train_ds, batch_size=cfg.train.train_batch, shuffle=True, drop_last=True,
+            train_ds, batch_size=self.local_batch, shuffle=True, drop_last=True,
             num_workers=cfg.data.num_workers, seed=cfg.train.seed,
+            shard_index=jax.process_index(), shard_count=jax.process_count(),
         )
 
         if resume and self.ckpt.exists(resume):
@@ -174,7 +204,10 @@ class TrainDeepLabOOD:
             step=jnp.zeros((), jnp.int32),
             rng=jax.random.PRNGKey(cfg.train.seed),
         )
-        train_step = make_train_step(self.model, tx, self.rcl_params)
+        # replicate the state over the (possibly global) mesh so every host's jit
+        # sees identically-placed inputs
+        state = jax.device_put(state, replicated(self.mesh))
+        train_step = make_train_step(self.model, tx, self.rcl_params, paired=True)
         stage = 0
 
         for epoch in range(start_epoch, cfg.train.n_epochs):
@@ -183,18 +216,23 @@ class TrainDeepLabOOD:
                 self.variables = {"params": state.params,
                                   "batch_stats": state.batch_stats}
                 tx, opt_state = self._stage_optimizer(1)
-                state = state.replace(opt_state=opt_state)
-                train_step = make_train_step(self.model, tx, self.rcl_params)
+                state = state.replace(
+                    opt_state=jax.device_put(opt_state, replicated(self.mesh))
+                )
+                train_step = make_train_step(self.model, tx, self.rcl_params,
+                                             paired=True)
 
             t0 = time.time()
             n_img = 0
             for img, target, gen_img, gen_target in loader:
-                batch_img = np.concatenate([img, gen_img], 0)
-                batch_tgt = np.concatenate([target, gen_target], 0)
-                batch_img = jax.device_put(batch_img, data_sharded(self.mesh, 4))
-                batch_tgt = jax.device_put(batch_tgt, data_sharded(self.mesh, 3))
-                state, loss, aux = train_step(state, batch_img, batch_tgt)
-                n_img += batch_img.shape[0]
+                # each half is assembled into a GLOBAL batch-sharded array from this
+                # host's slice; the paired step concats [clean ‖ aug] inside jit
+                # (process-count-1 degenerates to a plain sharded device_put)
+                b = shard_global_batch(
+                    (img, gen_img, target, gen_target), self.mesh
+                )
+                state, loss, aux = train_step(state, *b)
+                n_img += b[0].shape[0] * 2
             dt = time.time() - t0
             log.warning(
                 "epoch %d loss %.4f (%.1f img/s)", epoch, float(loss),
@@ -203,7 +241,8 @@ class TrainDeepLabOOD:
 
             metrics = self.valid(state, val_ds)
             log.warning("epoch %d %s", epoch, metrics)
-            if metrics and metrics["AUPRC"] > self.best["AUPRC"]:
+            if (metrics and metrics["AUPRC"] > self.best["AUPRC"]
+                    and jax.process_index() == 0):
                 self.best["AUPRC"] = metrics["AUPRC"]
                 self.ckpt.save(
                     "AUPRC_best",

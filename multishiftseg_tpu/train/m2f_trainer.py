@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import Config
-from ..core.mesh import data_sharded, fit_mesh_to_batch, make_mesh
+from ..core.mesh import (data_sharded, fit_mesh_to_batch, make_mesh,
+                         make_train_mesh, replicated, shard_global_batch)
 from ..data.anomaly import RoadAnomaly21
 from ..data.cityscapes import DiverseCityscapes
 from ..data.loader import Loader, pad_to_multiple
@@ -59,9 +60,16 @@ class TrainM2FOOD:
     def __init__(self, cfg: Config, weight_path: Optional[str] = None,
                  model: Optional[MaskFormer] = None):
         self.cfg = cfg
-        # paired clean||augmented batch is 2x train_batch on the leading axis
-        self.mesh = fit_mesh_to_batch(2 * cfg.train.train_batch,
-                                      cfg.train.num_devices)
+        # the clean and generated halves are sharded separately (the paired step
+        # concatenates them inside jit), so the data axis must divide ONE half;
+        # under a multi-process launch this is the host-major global mesh
+        self.mesh = make_train_mesh(cfg.train.train_batch, cfg.train.num_devices)
+        if cfg.train.train_batch % jax.process_count() != 0:
+            raise ValueError(
+                f"train_batch {cfg.train.train_batch} not divisible by "
+                f"{jax.process_count()} hosts"
+            )
+        self.local_batch = cfg.train.train_batch // jax.process_count()
         m = cfg.model.m2f
         # loss.params.mask2anomaly_loss_weight overrides the model loss weights
         # (the reference's setup(), train_m2f.py:160-168).
@@ -156,7 +164,6 @@ class TrainM2FOOD:
         model, rcl_params = self.model, self.rcl_params
         crop_hw = tuple(self.cfg.data.crop_size)
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, img, target):
             rng, step_rng = jax.random.split(state.rng)
 
@@ -184,13 +191,12 @@ class TrainM2FOOD:
                 loss, aux,
             )
 
-        return step
+        return self._pairify(step)
 
     def make_stage2_step(self, tx):
         model, crit_cfg, rcl_params = self.model, self.crit_cfg, self.rcl_params
         crop_hw = tuple(self.cfg.data.crop_size)
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, img, target):
             rng, step_rng = jax.random.split(state.rng)
 
@@ -213,7 +219,23 @@ class TrainM2FOOD:
                 loss, losses,
             )
 
-        return step
+        return self._pairify(step)
+
+    def _pairify(self, step):
+        """Wrap a (state, img, target) step to take the clean/generated halves as
+        four arrays and concat inside jit (multi-host: each host feeds its local
+        slice of each half; the in-jit concat restores the global [clean ‖ aug]
+        order the losses split at)."""
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def paired(state, img_c, img_g, tgt_c, tgt_g):
+            return step(
+                state,
+                jnp.concatenate([img_c, img_g], 0),
+                jnp.concatenate([tgt_c, tgt_g], 0),
+            )
+
+        return paired
 
     def make_eval_step(self):
         model = self.model
@@ -231,8 +253,9 @@ class TrainM2FOOD:
         cfg = self.cfg
         train_ds, val_ds = self.build_datasets()
         loader = Loader(
-            train_ds, batch_size=cfg.train.train_batch, shuffle=True, drop_last=True,
+            train_ds, batch_size=self.local_batch, shuffle=True, drop_last=True,
             num_workers=cfg.data.num_workers, seed=cfg.train.seed,
+            shard_index=jax.process_index(), shard_count=jax.process_count(),
         )
 
         if resume and self.ckpt.exists(resume):
@@ -257,6 +280,7 @@ class TrainM2FOOD:
             opt_state=opt_state,
             step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(cfg.train.seed),
         )
+        state = jax.device_put(state, replicated(self.mesh))
         eval_step = self.make_eval_step()
         stage = 0
 
@@ -269,19 +293,19 @@ class TrainM2FOOD:
                     clip_value=m.clip_gradients_value,
                     trainable_names=cfg.model.trainable_params_name_update or (".",),
                 )
-                state = state.replace(opt_state=opt_state)
+                state = state.replace(
+                    opt_state=jax.device_put(opt_state, replicated(self.mesh))
+                )
                 step_fn = self.make_stage2_step(tx)
                 log.warning("switched to stage-2 official loss + AdamW groups")
 
             t0, n_img = time.time(), 0
             for img, target, gen_img, gen_target in loader:
-                bi = np.concatenate([img, gen_img], 0)
-                bt = np.concatenate([target, gen_target], 0).astype(np.int32)
-                bi, bt, _ = self._pad_batch(bi, bt)
-                bi = jax.device_put(bi, data_sharded(self.mesh, 4))
-                bt = jax.device_put(bt, data_sharded(self.mesh, 3))
-                state, loss, aux = step_fn(state, bi, bt)
-                n_img += bi.shape[0]
+                ic, tc, _ = self._pad_batch(img, target.astype(np.int32))
+                ig, tg, _ = self._pad_batch(gen_img, gen_target.astype(np.int32))
+                b = shard_global_batch((ic, ig, tc, tg), self.mesh)
+                state, loss, aux = step_fn(state, *b)
+                n_img += b[0].shape[0] * 2
             log.warning(
                 "epoch %d loss %.4f (%.1f img/s)", epoch, float(loss),
                 n_img / max(time.time() - t0, 1e-9),
@@ -289,7 +313,8 @@ class TrainM2FOOD:
 
             metrics = self.valid(state, val_ds, eval_step)
             log.warning("epoch %d %s", epoch, metrics)
-            if metrics and metrics["AUPRC"] > self.best["AUPRC"]:
+            if (metrics and metrics["AUPRC"] > self.best["AUPRC"]
+                    and jax.process_index() == 0):
                 self.best["AUPRC"] = metrics["AUPRC"]
                 self.ckpt.save("AUPRC_best", params=state.params,
                                batch_stats=state.batch_stats,
