@@ -88,16 +88,26 @@ class WindowAttention(nn.Module):
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
+def drop_path(x, rate: float, rng) -> jax.Array:
+    """Per-sample stochastic depth (timm ``DropPath``, used by the reference swin
+    blocks at drop_path_rate 0.3 via the swin yamls): keep with prob 1-rate and
+    rescale, dropping the whole residual branch for dropped samples."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return x * mask.astype(x.dtype) / keep
+
+
 class SwinBlock(nn.Module):
     dim: int
     num_heads: int
     window_size: int
     shift_size: int
     mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.0
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):  # [N, H, W, C]
+    def __call__(self, x, train: bool = False):  # [N, H, W, C]
         n, h, w, c = x.shape
         # The reference keeps the configured window size and shift on every map and
         # pads up to window multiples, even when H or W < window (swin.py:250-259,
@@ -126,12 +136,17 @@ class SwinBlock(nn.Module):
         if shift:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = x[:, :h, :w]
+        use_dp = train and self.drop_path_rate > 0.0
+        if use_dp:
+            x = drop_path(x, self.drop_path_rate, self.make_rng("dropout"))
         x = shortcut + x
 
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
         # exact (erf) GELU — torch nn.GELU default; the tanh approximation drifts
         y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(nn.gelu(y, approximate=False))
+        if use_dp:
+            y = drop_path(y, self.drop_path_rate, self.make_rng("dropout"))
         return x + y
 
 
@@ -159,6 +174,9 @@ class SwinTransformer(nn.Module):
     num_heads: Sequence[int] = (3, 6, 12, 24)
     window_size: int = 7
     mlp_ratio: float = 4.0
+    # reference MODEL.SWIN.DROP_PATH_RATE (config.py:86, swin yamls: 0.3), applied
+    # as a linspace schedule over all blocks like the torch swin (swin.py:580-584)
+    drop_path_rate: float = 0.3
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -170,15 +188,20 @@ class SwinTransformer(nn.Module):
 
         feats = {}
         dim = self.embed_dim
+        total = sum(self.depths)
+        dpr = np.linspace(0.0, self.drop_path_rate, total)
+        done = 0
         for stage, depth in enumerate(self.depths):
             for blk in range(depth):
                 x = SwinBlock(
                     dim=dim, num_heads=self.num_heads[stage],
                     window_size=self.window_size,
                     shift_size=0 if blk % 2 == 0 else self.window_size // 2,
-                    mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+                    mlp_ratio=self.mlp_ratio,
+                    drop_path_rate=float(dpr[done + blk]), dtype=self.dtype,
                     name=f"stage{stage}_block{blk}",
-                )(x)
+                )(x, train=train)
+            done += depth
             # per-stage output norm (the D2 wrapper's norm0..norm3, swin.py:686-764)
             feats[f"res{stage + 2}"] = nn.LayerNorm(epsilon=1e-5, 
                 dtype=self.dtype, name=f"out_norm{stage}"

@@ -305,6 +305,8 @@ def _core_vjp_bwd(spatial_shapes, quantize_table, residuals, g):
             * gqt[:, :, None, :]
         ).reshape(n * m * lq * P, 4 * d)
         lin = _window_index(sy, sx, h, w).reshape(-1)
+        if _debug_bounds():
+            _check_in_bounds(lin, n * m * h * w, "scatter")
         dcol = jnp.zeros((n * m * h * w, 4 * d), jnp.float32).at[lin].add(rows_g)
         dv_levels.append(
             _col2im(dcol.reshape(n * m, h, w, 4, d), h, w).reshape(n * m, h * w, d)
@@ -349,12 +351,36 @@ def _im2col_table(img: jax.Array) -> jax.Array:
     return tab.reshape(b * h * w, 4 * d)
 
 
+def _debug_bounds() -> bool:
+    """Env-gated (``MSS_DEBUG_BOUNDS=1``) runtime check of the PROMISE_IN_BOUNDS
+    invariant — the op's one silent-corruption hazard: a wrong ``off_np``/window
+    entry would read or scatter garbage without failing. Checked at trace time of
+    every gather/scatter site; parity tests run with it enabled."""
+    import os
+
+    return os.environ.get("MSS_DEBUG_BOUNDS", "") == "1"
+
+
+def _check_in_bounds(lin: jax.Array, size: int, what: str) -> None:
+    def raise_if(bad_count, lo, hi):
+        if int(bad_count):
+            raise RuntimeError(
+                f"MSS_DEBUG_BOUNDS: {int(bad_count)} out-of-bounds {what} indices "
+                f"(range [{int(lo)}, {int(hi)}], table size {size})"
+            )
+
+    bad = jnp.sum((lin < 0) | (lin >= size))
+    jax.debug.callback(raise_if, bad, jnp.min(lin), jnp.max(lin))
+
+
 def _flat_row_gather(tab: jax.Array, lin: jax.Array) -> jax.Array:
     """Gather [1, R] rows from a flat [T, R] table at int32 indices ``lin`` [...].
 
     The flat 1-D geometry (no operand_batching_dims, 1-D start_index_map) issues at
     ~2.7 ns/index on v5e vs ~20 ns/index for the equivalent 2-D window gather with
     batching dims (tools/gather_microbench.py)."""
+    if _debug_bounds():
+        _check_in_bounds(lin, tab.shape[0], "gather")
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,),
     )

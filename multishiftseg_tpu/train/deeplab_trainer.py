@@ -30,9 +30,8 @@ from ..core.mesh import (
 )
 from ..data.anomaly import RoadAnomaly21
 from ..data.cityscapes import DiverseCityscapes
-from ..data.loader import Loader, pad_to_multiple
+from ..data.loader import Loader
 from ..data.transforms import Compose, Normalize, RandCrop, ToTensor
-from ..evals.ood_metrics import BinnedOODMeter
 from ..losses.rcl import RCLParams, make_rcl_params, rel_contrastive_loss
 from ..models.deeplab import DeepWV3Plus, init_ood_head_from_final
 from .checkpoint import CheckpointManager
@@ -257,18 +256,12 @@ class TrainDeepLabOOD:
     # ---------------- eval ----------------
 
     def valid(self, state: TrainState, val_ds) -> Optional[Dict[str, float]]:
-        """Per-epoch validation with on-device binned metrics: score maps never
-        round-trip through host numpy (the reference's sklearn hot spot,
-        ``lib/utils/metric.py:170-181``); only 3 scalars cross the host boundary."""
+        """Per-epoch validation: on-device binned metrics (the reference's sklearn
+        hot spot never leaves the device) over shape-bucketed batches — the same
+        batch-4 bucket logic as ``OODEvaluator.test`` (``batched_valid``)."""
+        from .validation import batched_valid
+
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        meter = BinnedOODMeter()
-        for i in range(len(val_ds)):
-            img, target, _ = val_ds[i]
-            img_p, (h, w) = pad_to_multiple(img, 32)
-            score, _ = self.eval_step(variables, jnp.asarray(img_p[None]))
-            meter.update(score[0, :h, :w], target)
-        res = meter.compute()
-        if res is None:
-            return None
-        auroc, auprc, fpr = res
-        return {"AUROC": auroc, "AUPRC": auprc, "FPR_TPR95": fpr}
+        return batched_valid(
+            val_ds, lambda imgs: self.eval_step(variables, imgs)[0]
+        )

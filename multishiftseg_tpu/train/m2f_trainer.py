@@ -30,13 +30,12 @@ from ..core.mesh import (data_sharded, fit_mesh_to_batch, make_mesh,
                          make_train_mesh, replicated, shard_global_batch)
 from ..data.anomaly import RoadAnomaly21
 from ..data.cityscapes import DiverseCityscapes
-from ..data.loader import Loader, pad_to_multiple
+from ..data.loader import Loader
 from ..data.transforms import (
     AutoContrast, ColorJitter, Compose, Equalize, GaussianBlur, Normalize,
     RandCrop, RandHorizontalFlip, RandResize, RandRotate, RandSharpness,
     RandVerticalFlip, ToTensor,
 )
-from ..evals.ood_metrics import BinnedOODMeter
 from ..losses.criterion import CriterionConfig, set_criterion
 from ..losses.rcl import make_rcl_params, rel_contrastive_loss
 from ..models.maskformer import MaskFormer, inference
@@ -165,12 +164,12 @@ class TrainM2FOOD:
         crop_hw = tuple(self.cfg.data.crop_size)
 
         def step(state: TrainState, img, target):
-            rng, step_rng = jax.random.split(state.rng)
+            rng, step_rng, drop_rng = jax.random.split(state.rng, 3)
 
             def loss_fn(params):
                 outputs = model.apply(
                     {"params": params, "batch_stats": state.batch_stats}, img,
-                    train=True,
+                    train=True, rngs={"dropout": drop_rng},
                 )
                 sem, anomaly = inference(outputs, img.shape[1:3])
                 logit = sem[:, :19, : crop_hw[0], : crop_hw[1]]
@@ -198,12 +197,12 @@ class TrainM2FOOD:
         crop_hw = tuple(self.cfg.data.crop_size)
 
         def step(state: TrainState, img, target):
-            rng, step_rng = jax.random.split(state.rng)
+            rng, step_rng, drop_rng = jax.random.split(state.rng, 3)
 
             def loss_fn(params):
                 outputs = model.apply(
                     {"params": params, "batch_stats": state.batch_stats}, img,
-                    train=True,
+                    train=True, rngs={"dropout": drop_rng},
                 )
                 total, losses = set_criterion(
                     outputs, target, step_rng, crit_cfg, rcl_params, crop_hw=crop_hw
@@ -326,19 +325,13 @@ class TrainM2FOOD:
         return self.best
 
     def valid(self, state: TrainState, val_ds, eval_step) -> Optional[Dict[str, float]]:
-        """Per-epoch validation with on-device binned metrics (see
-        ``BinnedOODMeter``): only 3 scalars cross the host boundary."""
+        """Per-epoch validation: on-device binned metrics over shape-bucketed
+        batches (``batched_valid``, shared with the DeepLab trainer)."""
+        from .validation import batched_valid
+
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
-        meter = BinnedOODMeter()
-        for i in range(len(val_ds)):
-            img, target, _ = val_ds[i]
-            img_p, (h, w) = pad_to_multiple(img, 32)
-            sem, anomaly = eval_step(variables, jnp.asarray(img_p[None]))
-            meter.update(anomaly[0, :h, :w], target)
-        res = meter.compute()
-        if res is None:
-            return None
-        auroc, auprc, fpr = res
-        return {"AUROC": auroc, "AUPRC": auprc, "FPR_TPR95": fpr}
+        return batched_valid(
+            val_ds, lambda imgs: eval_step(variables, imgs)[1]
+        )

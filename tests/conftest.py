@@ -12,6 +12,9 @@ import os
 # A site hook imports jax at interpreter startup, latching the env var — so update the
 # live config too (backend init is lazy, this still takes effect).
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Verify the deformable op's PROMISE_IN_BOUNDS invariant throughout the suite
+# (env-gated runtime bounds checks on every gather/scatter index set).
+os.environ.setdefault("MSS_DEBUG_BOUNDS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

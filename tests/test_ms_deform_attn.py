@@ -144,3 +144,22 @@ def test_int8_table_gradients_flow(rng):
         assert np.isfinite(np.asarray(gq)).all()
         denom = np.abs(np.asarray(ge)).max() + 1e-6
         assert np.abs(np.asarray(gq) - np.asarray(ge)).max() / denom < 0.05
+
+
+def test_debug_bounds_gate(rng, monkeypatch):
+    """MSS_DEBUG_BOUNDS=1 verifies the PROMISE_IN_BOUNDS invariant at runtime:
+    clean inputs pass (fwd + bwd), a corrupted index raises."""
+    from multishiftseg_tpu.ops.ms_deform_attn import _flat_row_gather
+
+    monkeypatch.setenv("MSS_DEBUG_BOUNDS", "1")
+    value, loc, attn = _inputs(rng)
+
+    def f(v, l, a):
+        return jnp.sum(ms_deform_attn_core(v, SHAPES, l, a) ** 2)
+
+    g = jax.grad(f)(jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn))
+    jax.block_until_ready(g)  # fwd+bwd sites checked, no raise
+
+    tab = jnp.zeros((10, 8), jnp.float32)
+    with pytest.raises(Exception, match="out-of-bounds"):
+        jax.block_until_ready(_flat_row_gather(tab, jnp.asarray([0, 3, 10])))

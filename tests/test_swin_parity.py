@@ -141,3 +141,35 @@ def test_convert_maskformer_routes_swin_backbone(ref_swin_mod):
     assert set(a) == set(b)
     for k in a:
         np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_drop_path_train_only():
+    """Stochastic depth (reference DROP_PATH_RATE 0.3): eval path is unaffected;
+    train path drops whole per-sample residual branches under the dropout rng."""
+    import jax
+    import jax.numpy as jnp
+
+    from multishiftseg_tpu.models.swin import SwinTransformer
+
+    model = SwinTransformer(embed_dim=8, depths=(1, 1), num_heads=(2, 2),
+                            window_size=4, drop_path_rate=0.5)
+    x = jnp.asarray(np.random.RandomState(0).randn(3, 16, 16, 3), jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+    e1 = model.apply(v, x, train=False)
+    e2 = model.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(e1["res2"]), np.asarray(e2["res2"]))
+
+    # the linspace schedule gives block 0 rate 0.0 (reference swin.py:580-584), so
+    # stochasticity shows from the second block on: check res3, not res2
+    t1 = model.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    t2 = model.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    np.testing.assert_array_equal(np.asarray(t1["res2"]), np.asarray(e1["res2"]))
+    assert np.abs(np.asarray(t1["res3"]) - np.asarray(e1["res3"])).max() > 1e-6
+    assert np.abs(np.asarray(t1["res3"]) - np.asarray(t2["res3"])).max() > 1e-6
+
+    # rate 0 -> train == eval exactly
+    m0 = SwinTransformer(embed_dim=8, depths=(1, 1), num_heads=(2, 2),
+                         window_size=4, drop_path_rate=0.0)
+    t0 = m0.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_array_equal(np.asarray(t0["res3"]), np.asarray(e1["res3"]))
