@@ -85,6 +85,15 @@ class M2FModelConfig:
     train_num_points: int = 12544
     oversample_ratio: float = 3.0
     importance_sample_ratio: float = 0.75
+    # registry selections (MASK_FORMER.TRANSFORMER_DECODER_NAME /
+    # SEM_SEG_HEAD.PIXEL_DECODER_NAME): gma = MultiScaleMaskedTransformerDecoder_GMA,
+    # vanilla = MultiScaleMaskedTransformerDecoder, standard = StandardTransformerDecoder
+    transformer_decoder: str = "gma"
+    pixel_decoder: str = "msdeformattn"  # msdeformattn | fpn | transformer_encoder
+    # test-time task switches (MASK_FORMER.TEST.*)
+    semantic_on: bool = True
+    instance_on: bool = False
+    panoptic_on: bool = False
     ood_finetune: bool = True
     ood_loss: str = "margin"  # margin | bce | RCL
     margin: float = 1.0

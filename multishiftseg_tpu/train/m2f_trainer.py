@@ -82,6 +82,8 @@ class TrainM2FOOD:
             num_queries=m.num_queries, nheads=m.nheads,
             dim_feedforward=m.dim_feedforward, dec_layers=m.dec_layers - 1,
             mask_dim=m.mask_dim, transformer_enc_layers=m.transformer_enc_layers,
+            pixel_decoder=m.pixel_decoder,
+            predictor="vanilla" if m.transformer_decoder == "vanilla" else "gma",
             dtype=jnp.bfloat16 if cfg.train.bf16 else None,
         )
         self.rcl_params = make_rcl_params(cfg.loss.params)
@@ -95,6 +97,9 @@ class TrainM2FOOD:
             ood_loss="RCL" if cfg.model.mask2anomaly.replace_official_odd_loss_with_RCL
             else m.ood_loss,
             margin=m.margin, deep_supervision=cfg.model.mask2anomaly.deep_supervision,
+            mask_loss_with_pixel_selection=(
+                cfg.model.mask2anomaly.mask_loss_with_pixel_selection
+            ),
         )
         self.best: Dict[str, float] = {"AUPRC": -1.0}
         self.ckpt = CheckpointManager(cfg.model_dir)

@@ -101,3 +101,43 @@ def test_config_base_include_chain():
     assert cfg.model.m2f.backbone == "swin_large"
     assert cfg.train.warmup_epoch == 5  # inherited
     assert cfg.loss.params["mask2anomaly_loss_weight"]["mask_weight"] == 10.0
+
+
+def test_instance_panoptic_exp_configs_load():
+    """The D2 instance/panoptic yaml variants (reference configs/
+    mask2former-cityscapes/{instance,panoptic}-segmentation/) load through the
+    config tree with the reference's values and select the vanilla decoder."""
+    from multishiftseg_tpu.core.config import load_config
+
+    inst = load_config("/root/repo/exps/m2f_instance.yaml", exp_id="t_inst")
+    m = inst.model.m2f
+    assert m.num_classes == 8 and m.freeze_at == 0
+    assert m.transformer_decoder == "vanilla"
+    assert (m.semantic_on, m.instance_on, m.panoptic_on) == (False, True, False)
+    assert (m.class_weight, m.mask_weight, m.dice_weight) == (2.0, 5.0, 5.0)
+    assert m.base_lr == 1e-4 and m.object_mask_threshold == 0.8
+    assert inst.model.mask2anomaly.mask_loss_with_pixel_selection is False
+    assert inst.model.mask2anomaly.deep_supervision is True
+
+    pan = load_config("/root/repo/exps/m2f_panoptic.yaml", exp_id="t_pan")
+    assert pan.model.m2f.num_classes == 19
+    assert (pan.model.m2f.semantic_on, pan.model.m2f.panoptic_on) == (True, True)
+
+    swin = load_config("/root/repo/exps/m2f_panoptic_swin_large.yaml", exp_id="t_sl")
+    assert swin.model.m2f.backbone == "swin_large"
+    assert swin.model.m2f.num_classes == 19
+
+    # the trainer maps these onto the MaskFormer module selections
+    from multishiftseg_tpu.train.m2f_trainer import TrainM2FOOD
+
+    inst.train.train_batch = 1
+    trainer = TrainM2FOOD.__new__(TrainM2FOOD)  # no heavy init; just the mapping
+    from multishiftseg_tpu.models.maskformer import MaskFormer
+
+    mm = inst.model.m2f
+    model = MaskFormer(
+        num_classes=mm.num_classes, backbone=mm.backbone,
+        predictor="vanilla" if mm.transformer_decoder == "vanilla" else "gma",
+        pixel_decoder=mm.pixel_decoder,
+    )
+    assert model.predictor == "vanilla" and model.num_classes == 8
