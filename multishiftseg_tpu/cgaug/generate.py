@@ -91,6 +91,9 @@ class MultiShiftGenerator:
         self.detector = detector
         self.cfg = cfg
         self.rng = np.random.default_rng(cfg.seed)
+        # filter observability: attempts / accepts / per-filter rejects
+        self.stats = {"attempts": 0, "accepted": 0, "iou_rejects": 0,
+                      "detector_rejects": 0, "failed_images": 0}
 
     def auto_filter(self, image: np.ndarray, anomaly_mask: np.ndarray) -> bool:
         """SAM IoU + detector-score acceptance (``auto_filtering``,
@@ -98,10 +101,12 @@ class MultiShiftGenerator:
         if self.segmenter is not None and anomaly_mask.sum() > 0:
             pred = self.segmenter.segment_box(image, _bbox(anomaly_mask))
             if _iou(pred, anomaly_mask) <= self.cfg.iou_threshold:
+                self.stats["iou_rejects"] += 1
                 return False
         if self.detector is not None and anomaly_mask.sum() > 0:
             score = self.detector.anomaly_score(image)
             if float(score[anomaly_mask == 1].mean()) < self.cfg.score_threshold:
+                self.stats["detector_rejects"] += 1
                 return False
         return True
 
@@ -120,9 +125,12 @@ class MultiShiftGenerator:
                 self.cfg.weathers, self.cfg.places, self.rng, ood_name=ood_name
             )
             image = self.diffusion.generate(pasted, prompt)
+            self.stats["attempts"] += 1
             if self.auto_filter(image, anomaly_mask):
+                self.stats["accepted"] += 1
                 return image, anomaly_mask, ood_name, domain
             log.info("attempt %d rejected by auto-filter", attempt)
+        self.stats["failed_images"] += 1
         return None
 
     def run(

