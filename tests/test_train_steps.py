@@ -153,3 +153,56 @@ def test_checkpoint_roundtrip(tmp_path):
     restored = ckpt.restore("best", tree)
     np.testing.assert_array_equal(restored["params"]["w"], tree["params"]["w"])
     assert int(restored["epoch"]) == 7
+
+
+def test_instance_training_step_through_mappers():
+    """Closing the mappers -> criterion loop end-to-end: a panoptic-style sample
+    with duplicate classes goes mapper -> padded SegmentTargets ->
+    set_criterion_instance -> grads through the vanilla-decoder MaskFormer."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from multishiftseg_tpu.data.mappers import SegmentTargets, instance_to_targets
+    from multishiftseg_tpu.losses.criterion import (
+        CriterionConfig, set_criterion_instance)
+    from multishiftseg_tpu.models.maskformer import MaskFormer
+
+    # instance-id map: ids >= divisor are instances (class = id // divisor)
+    pan = np.zeros((64, 64), np.int64)
+    pan[:, :20] = 2 * 1000 + 0   # class 2, instance 0
+    pan[:, 40:] = 2 * 1000 + 1   # class 2, instance 1 (duplicate class)
+    pan[10:30, 25:35] = 5 * 1000 + 0  # class 5
+    tgt = instance_to_targets(pan, divisor=1000)
+    assert len(tgt.classes) == 3 and (tgt.classes == 2).sum() == 2
+    T = 6
+    padded = tgt.padded(T)
+    assert padded.classes.shape == (T,) and (padded.classes[3:] == -1).all()
+
+    model = MaskFormer(num_classes=8, backbone="resnet50", hidden_dim=32,
+                       num_queries=12, nheads=4, dim_feedforward=64,
+                       dec_layers=3, mask_dim=32, transformer_enc_layers=1,
+                       predictor="vanilla")
+    img = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, img, train=False)
+    cfg = CriterionConfig(num_classes=8, num_points=64, ood_loss="none",
+                          mask_loss_with_pixel_selection=False,
+                          deep_supervision=True)
+    id_map = jnp.asarray(padded.id_map[None].astype(np.int32))
+    classes = jnp.asarray(padded.classes[None].astype(np.int32))
+
+    def loss_fn(params):
+        out = model.apply({"params": params,
+                           "batch_stats": variables["batch_stats"]}, img,
+                          train=True)
+        total, _ = set_criterion_instance(out, id_map, classes,
+                                          jax.random.PRNGKey(1), cfg)
+        return total
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.sum(jnp.abs(g)))
+                for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
