@@ -212,3 +212,55 @@ def test_registry_panoptic(tmp_path):
     assert len(recs) == 1
     assert recs[0]["segments_info"][0]["id"] == 3
     assert "t_pan" in DatasetCatalog.list()
+
+
+def test_model_to_instance_ap_end_to_end():
+    """The full instance path: vanilla-decoder MaskFormer forward ->
+    instance_inference -> InstanceSegEvaluator, on a scene the model is
+    teacher-forced to predict (weights crafted via one overfit step is overkill;
+    instead craft the HEAD outputs through the real inference/eval plumbing and
+    run the real model once to check shape compatibility)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multishiftseg_tpu.data.mappers import instance_to_targets
+    from multishiftseg_tpu.evals.instance_metrics import InstanceSegEvaluator
+    from multishiftseg_tpu.models.inference_extras import instance_inference
+    from multishiftseg_tpu.models.maskformer import MaskFormer
+
+    # real model forward for plumbing compatibility
+    model = MaskFormer(num_classes=8, backbone="resnet50", hidden_dim=32,
+                       num_queries=12, nheads=4, dim_feedforward=64,
+                       dec_layers=3, mask_dim=32, transformer_enc_layers=1,
+                       predictor="vanilla")
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, img, train=False)
+    out = model.apply(variables, img, train=False)
+    res = instance_inference(np.asarray(out["pred_logits"][0], np.float32),
+                             np.asarray(out["pred_masks"][0], np.float32),
+                             test_topk_per_image=10)
+    assert res["pred_masks"].shape[1:] == out["pred_masks"].shape[2:]
+
+    # teacher-forced head outputs through the same path -> perfect AP
+    pan = np.zeros((32, 32), np.int64)
+    pan[:, :10] = 2 * 1000 + 0
+    pan[:, 20:] = 2 * 1000 + 1
+    tgt = instance_to_targets(pan, divisor=1000)
+    q, k = 6, 8
+    cls = np.full((q, k + 1), -10.0, np.float32)
+    msk = np.full((q, 32, 32), -10.0, np.float32)
+    cls[:, k] = 5.0  # default no-object
+    for t in range(len(tgt.classes)):
+        cls[t, k] = -10.0
+        cls[t, tgt.classes[t]] = 10.0
+        msk[t][tgt.id_map == t] = 10.0
+    pred = instance_inference(cls, msk, test_topk_per_image=5)
+    ev = InstanceSegEvaluator(num_classes=k)
+    ev.process(
+        {"masks": pred["pred_masks"].astype(bool), "scores": pred["scores"],
+         "classes": pred["pred_classes"]},
+        {"masks": tgt.masks().astype(bool), "classes": tgt.classes},
+    )
+    res = ev.evaluate()
+    assert res is not None and np.isfinite(res["AP"]) and res["AP"] > 0.9
