@@ -307,9 +307,21 @@ def _core_vjp_bwd(spatial_shapes, quantize_table, residuals, g):
         lin = _window_index(sy, sx, h, w).reshape(-1)
         if _debug_bounds():
             _check_in_bounds(lin, n * m * h * w, "scatter")
-        dcol = jnp.zeros((n * m * h * w, 4 * d), jnp.float32).at[lin].add(rows_g)
+        # MSS_BF16_SCATTER=1: accumulate the value-grad scatter in bf16 (halves the
+        # bytes of the step's most expensive op — the per-level scatter is ~13.5
+        # ns/index f32, PERF.md round-2). Opt-in: bf16 accumulation across the ~12
+        # updates per row costs gradient mantissa; accuracy-gated in
+        # test_ms_deform_attn.py::test_bf16_scatter_grad_gate.
+        import os
+
+        sdt = (jnp.bfloat16 if os.environ.get("MSS_BF16_SCATTER", "") == "1"
+               else jnp.float32)
+        dcol = (
+            jnp.zeros((n * m * h * w, 4 * d), sdt).at[lin].add(rows_g.astype(sdt))
+        )
         dv_levels.append(
-            _col2im(dcol.reshape(n * m, h, w, 4, d), h, w).reshape(n * m, h * w, d)
+            _col2im(dcol.reshape(n * m, h, w, 4, d).astype(jnp.float32), h, w)
+            .reshape(n * m, h * w, d)
         )
         start += h * w
 

@@ -103,10 +103,11 @@ def test_config_base_include_chain():
     assert cfg.loss.params["mask2anomaly_loss_weight"]["mask_weight"] == 10.0
 
 
-def test_instance_panoptic_exp_configs_load():
+def test_instance_panoptic_exp_configs_load(tmp_path, monkeypatch):
     """The D2 instance/panoptic yaml variants (reference configs/
     mask2former-cityscapes/{instance,panoptic}-segmentation/) load through the
     config tree with the reference's values and select the vanilla decoder."""
+    monkeypatch.chdir(tmp_path)  # config snapshots land under cwd/ckpts/<id>
     from multishiftseg_tpu.core.config import load_config
 
     inst = load_config("/root/repo/exps/m2f_instance.yaml", exp_id="t_inst")

@@ -163,3 +163,23 @@ def test_debug_bounds_gate(rng, monkeypatch):
     tab = jnp.zeros((10, 8), jnp.float32)
     with pytest.raises(Exception, match="out-of-bounds"):
         jax.block_until_ready(_flat_row_gather(tab, jnp.asarray([0, 3, 10])))
+
+
+def test_bf16_scatter_grad_gate(rng, monkeypatch):
+    """MSS_BF16_SCATTER=1 value-grad accumulation stays within bf16-level error
+    of the exact f32 scatter (the accuracy gate for the training fast path)."""
+    value, loc, attn = _inputs(rng)
+
+    def g(v, l, a):
+        return jax.grad(
+            lambda v_: jnp.sum(ms_deform_attn_core(v_, SHAPES, l, a) ** 2)
+        )(v)
+
+    monkeypatch.delenv("MSS_BF16_SCATTER", raising=False)
+    exact = np.asarray(g(jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn)))
+    monkeypatch.setenv("MSS_BF16_SCATTER", "1")
+    jax.clear_caches()  # env is read at trace time
+    fast = np.asarray(g(jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn)))
+    jax.clear_caches()
+    rel = np.abs(fast - exact).max() / (np.abs(exact).max() + 1e-9)
+    assert rel < 0.02, rel
