@@ -52,7 +52,12 @@ def _noise_like(variables, img):
 def bench_m2f():
     from multishiftseg_tpu.models.maskformer import MaskFormer, inference
 
-    model = MaskFormer(num_classes=19, backbone="resnet50", dtype=jnp.bfloat16)
+    # BENCH_DEFORM_MODE=nearest measures the approximate deformable-sampling
+    # eval path (accuracy-gated opt-in; the honest headline stays bilinear)
+    model = MaskFormer(
+        num_classes=19, backbone="resnet50", dtype=jnp.bfloat16,
+        deform_sample_mode=os.environ.get("BENCH_DEFORM_MODE", "bilinear"),
+    )
     img = jnp.zeros((BATCH, H, W, 3), jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 128, 256, 3)), train=False
@@ -124,6 +129,15 @@ def main():
     if which == "both":
         print(json.dumps(run_one("deeplab")), file=sys.stderr)
         which = "m2f"
+    if which == "m2f" and os.environ.get("BENCH_DEFORM_MODE", "") == "":
+        # secondary diagnostic: the accuracy-gated approximate sampling path
+        # (PERF.md round-3; crosses the 10 img/s target at 11.3 img/s on v5e).
+        # The stdout headline stays the exact reference-parity bilinear op.
+        os.environ["BENCH_DEFORM_MODE"] = "nearest"
+        approx = run_one("m2f")
+        approx["metric"] = approx["metric"].replace("m2f_", "m2f_approx_nearest_")
+        print(json.dumps(approx), file=sys.stderr)
+        os.environ["BENCH_DEFORM_MODE"] = "bilinear"
     print(json.dumps(run_one(which)))
 
 

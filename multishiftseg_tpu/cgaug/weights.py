@@ -43,7 +43,38 @@ WEIGHT_URLS: Dict[str, tuple] = {
         "swin_tiny_patch4_window7_224.pth",
         "swin_tiny_patch4_window7_224.pth",
     ),
+    # CLIP BPE tokenizer assets for the SD text conditioning (FrozenCLIPEmbedder
+    # uses openai/clip-vit-large-patch14; vocab/merges are model-agnostic)
+    "clip_vocab": (
+        "https://huggingface.co/openai/clip-vit-large-patch14/resolve/main/vocab.json",
+        "clip/vocab.json",
+    ),
+    "clip_merges": (
+        "https://huggingface.co/openai/clip-vit-large-patch14/resolve/main/merges.txt",
+        "clip/merges.txt",
+    ),
 }
+
+
+def build_real_backends(download_dir: str = "pretrained_model"):
+    """Assemble the reference-parity CG-Aug backends from fetched weights:
+    (SDControlNetGenerator over control_sd15_seg.pth, SAMSegmenter over
+    sam_vit_h_4b8939.pth) — drop-in for MultiShiftGenerator's diffusion and
+    segmenter protocol slots (the reference's exact generation stack,
+    generate_multishift_image.py:44-58, running natively on TPU)."""
+    from ..convert.sam import load_sam
+    from ..convert.sd_controlnet import load_control_sd15
+    from .clip_text import load_tokenizer
+    from .sam import SAMSegmenter, sam_vit_h
+    from .sd_pipeline import SDControlNetGenerator
+
+    sd_params = load_control_sd15(fetch_weight("control_sd15_seg", download_dir))
+    fetch_weight("clip_vocab", download_dir)
+    fetch_weight("clip_merges", download_dir)
+    tok = load_tokenizer(os.path.join(download_dir, "clip"))
+    gen = SDControlNetGenerator(sd_params, tok)
+    seg = SAMSegmenter(load_sam(fetch_weight("sam_vit_h", download_dir)), sam_vit_h())
+    return gen, seg
 
 
 def fetch_weight(name: str, download_dir: str = "pretrained_model") -> str:

@@ -55,6 +55,9 @@ class MaskFormer(nn.Module):
     # int8 deformable value table (accuracy-gated eval fast path; see
     # test_ms_deform_attn.py::test_int8_table_accuracy_gate)
     quantize_deform_table: bool = False
+    # "nearest" = approximate deformable sampling (accuracy-gated eval fast
+    # path; see test_ms_deform_attn.py::test_nearest_mode_deviation_gate)
+    deform_sample_mode: str = "bilinear"
 
     @nn.compact
     def __call__(self, images: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
@@ -76,6 +79,7 @@ class MaskFormer(nn.Module):
                 transformer_enc_layers=self.transformer_enc_layers,
                 dtype=self.dtype, name="pixel_decoder",
                 quantize_table=self.quantize_deform_table,
+                sample_mode=self.deform_sample_mode,
             )(feats)
         elif self.pixel_decoder == "fpn":
             from .fpn_decoder import BasePixelDecoder

@@ -46,6 +46,7 @@ class DeformableEncoderLayer(nn.Module):
     n_points: int = 4
     dtype: Optional[jnp.dtype] = None
     quantize_table: bool = False
+    sample_mode: str = "bilinear"
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes):
@@ -53,7 +54,7 @@ class DeformableEncoderLayer(nn.Module):
         attn_out = MSDeformAttn(
             d_model=self.d_model, n_levels=self.n_levels, n_heads=self.n_heads,
             n_points=self.n_points, dtype=self.dtype, name="self_attn",
-            quantize_table=self.quantize_table,
+            quantize_table=self.quantize_table, sample_mode=self.sample_mode,
         )(q, reference_points, src, spatial_shapes)
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src + attn_out)
         ffn = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(src)
@@ -73,6 +74,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
     num_outputs: int = 3  # maskformer_num_feature_levels
     dtype: Optional[jnp.dtype] = None
     quantize_table: bool = False  # int8 deformable value table (eval fast path)
+    sample_mode: str = "bilinear"  # "nearest" = approximate deformable sampling
 
     @nn.compact
     def __call__(self, features: Dict[str, jax.Array]):
@@ -116,7 +118,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             src = layer_cls(
                 d_model=self.conv_dim, n_levels=L, n_heads=self.n_heads,
                 n_points=self.n_points, dtype=self.dtype, name=f"encoder_layer_{i}",
-                quantize_table=self.quantize_table,
+                quantize_table=self.quantize_table, sample_mode=self.sample_mode,
             )(src, pos, ref, shapes)
 
         # split back to 2-D maps, low -> high resolution

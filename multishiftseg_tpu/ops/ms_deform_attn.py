@@ -38,6 +38,7 @@ def ms_deform_attn_core(
     sampling_locations: jax.Array,
     attention_weights: jax.Array,
     quantize_table: bool = False,
+    sample_mode: str = "bilinear",
 ) -> jax.Array:
     """Multi-scale deformable attention with a hand-written backward.
 
@@ -51,7 +52,20 @@ def ms_deform_attn_core(
     backward (and the grads of a quantized forward) use the exact bf16/fp32
     values; see ``test_ms_deform_attn.py`` for the accuracy gate vs the fp32
     oracle.
+
+    ``sample_mode="nearest"`` is the APPROXIMATE eval fast path (PERF.md
+    round-3 ceiling analysis): round each sample point to its nearest pixel and
+    gather one [1, D] value row instead of a [1, 4D] bilinear window — no
+    im2col table build, and the layout-bound post-gather pipeline shrinks 4x
+    (the corner-weight expansion and block-sum dot disappear entirely). Exact
+    at pixel centers; deviation vs the bilinear op is measured and gated in
+    ``test_ms_deform_attn.py``. Eval-only: its autodiff falls back to XLA's
+    slow derived scatter, so trainers must keep the default exact mode.
     """
+    if sample_mode == "nearest":
+        return _core_forward_nearest(tuple(spatial_shapes), value,
+                                     sampling_locations, attention_weights)
+    assert sample_mode == "bilinear", sample_mode
     return _ms_deform_attn_core_vjp(tuple(spatial_shapes), bool(quantize_table),
                                     value, sampling_locations, attention_weights)
 
@@ -201,6 +215,59 @@ def _core_forward(
     )  # [R, D]
     out = part.reshape(n, lq, m, L * P, d).sum(3)
     return out.reshape(n, lq, m * d).astype(compute_dtype)
+
+
+def _core_forward_nearest(
+    spatial_shapes: Sequence[Tuple[int, int]],
+    value: jax.Array,
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+) -> jax.Array:
+    """Nearest-pixel approximate forward (see ``ms_deform_attn_core``).
+
+    Replaces the bilinear 2x2 window with the single nearest value row. The
+    gather issue count is unchanged (it is the hard floor, PERF.md), but rows
+    are [1, D] straight out of the level-concat value tensor: the im2col table
+    build (~0.3 ms x L x layers), the [R, 4D] corner-weight expansion, and the
+    [R, 4D] x [4D, D] block-sum dot all disappear — the post-gather chain moves
+    4x fewer bytes. grid_sample's zero padding is approximated by zeroing the
+    attention weight of samples outside the half-pixel border.
+    """
+    n, s, m, d = value.shape
+    _, lq, _, L, P, _ = sampling_locations.shape
+    assert L == len(spatial_shapes)
+    compute_dtype = value.dtype
+    v = value.transpose(0, 2, 1, 3).reshape(n * m * s, d)
+
+    hw = np.asarray(spatial_shapes, np.int64)
+    off_np = np.concatenate([[0], np.cumsum(hw[:, 0] * hw[:, 1])[:-1]])
+    K = m * L * P
+    loc192 = sampling_locations.astype(jnp.float32).reshape(n, lq, 2 * K)
+    x96 = loc192[:, :, 0::2]
+    y96 = loc192[:, :, 1::2]
+    lane_l = (np.arange(K) // P) % L
+    wv96 = jnp.asarray(hw[lane_l, 1], jnp.float32)
+    hv96 = jnp.asarray(hw[lane_l, 0], jnp.float32)
+    x = x96 * wv96 - 0.5
+    y = y96 * hv96 - 0.5
+    ix = jnp.clip(jnp.floor(x + 0.5), 0.0, wv96 - 1.0)
+    iy = jnp.clip(jnp.floor(y + 0.5), 0.0, hv96 - 1.0)
+    # zero-padding analog: the nearest in-bounds pixel is >0.5 px away -> drop
+    inb = (x > -0.5) & (x < wv96 - 0.5) & (y > -0.5) & (y < hv96 - 0.5)
+    m96 = jnp.asarray(np.arange(K) // (L * P), jnp.int32)
+    off96 = jnp.asarray(off_np[lane_l], jnp.int32)
+    wi96 = jnp.asarray(hw[lane_l, 1], jnp.int32)
+    lin = (
+        (jnp.arange(n, dtype=jnp.int32)[:, None, None] * m + m96) * s
+        + off96
+        + iy.astype(jnp.int32) * wi96
+        + ix.astype(jnp.int32)
+    )
+    rows = _flat_row_gather(v, lin.reshape(-1))  # [R, D]
+    a96 = attention_weights.astype(jnp.float32).reshape(n, lq, K)
+    a = jnp.where(inb, a96, 0.0).reshape(n * lq * K, 1).astype(compute_dtype)
+    part = (rows * a).reshape(n, lq, m, L * P, d)
+    return part.sum(3, dtype=jnp.float32).reshape(n, lq, m * d).astype(compute_dtype)
 
 
 def _core_vjp_fwd(spatial_shapes, quantize_table, value, sampling_locations,
@@ -438,6 +505,7 @@ class MSDeformAttn(nn.Module):
     n_points: int = 4
     dtype: Optional[jnp.dtype] = None
     quantize_table: bool = False
+    sample_mode: str = "bilinear"  # "nearest" = approximate eval fast path
 
     @nn.compact
     def __call__(
@@ -483,7 +551,8 @@ class MSDeformAttn(nn.Module):
         )
 
         out = ms_deform_attn_core(value, spatial_shapes, loc, attn.astype(value.dtype),
-                                  quantize_table=self.quantize_table)
+                                  quantize_table=self.quantize_table,
+                                  sample_mode=self.sample_mode)
         return nn.Dense(
             self.d_model, dtype=self.dtype,
             kernel_init=nn.initializers.xavier_uniform(),
