@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 
 def ms_deform_attn_core(
@@ -553,6 +554,12 @@ class MSDeformAttn(nn.Module):
         out = ms_deform_attn_core(value, spatial_shapes, loc, attn.astype(value.dtype),
                                   quantize_table=self.quantize_table,
                                   sample_mode=self.sample_mode)
+        # Named for the encoder's remat policy (save_only_these_names): saving
+        # this [N, Lq, M*D] activation (~42 MB/layer bf16 at train shapes) lets
+        # the remat recompute DCE the whole core forward — table build, window
+        # gather, weight-dot — leaving only the cheap projections to replay.
+        # A no-op when no policy names it (eval, or remat-free callers).
+        out = checkpoint_name(out, "deform_core")
         return nn.Dense(
             self.d_model, dtype=self.dtype,
             kernel_init=nn.initializers.xavier_uniform(),

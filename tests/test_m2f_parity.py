@@ -38,7 +38,13 @@ IMG_HW = (64, 96)
 
 
 def _stub_module(name):
+    import importlib.machinery
+
     mod = types.ModuleType(name)
+    # a real (non-None) spec: importlib.util.find_spec raises ValueError on
+    # modules with __spec__ None, which breaks later availability probes
+    # (e.g. transformers checking for torchvision) in suite-order runs
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
     sys.modules[name] = mod
     return mod
 

@@ -57,11 +57,14 @@ def ref():
         plud.rank_zero_only = lambda f: f
         plu.distributed = plud
         pl.utilities = plu
-    if "torchvision" not in sys.modules:
-        tv = _stub("torchvision")
-        tvu = _stub("torchvision.utils")
+    # upgrade, don't skip: another test file (test_m2f_parity) may have left a
+    # bare non-package `torchvision` stub — `import torchvision.utils` then
+    # fails unless the submodule entry exists in sys.modules too
+    tv = sys.modules.get("torchvision") or _stub("torchvision")
+    tvu = sys.modules.get("torchvision.utils") or _stub("torchvision.utils")
+    if not hasattr(tvu, "make_grid"):
         tvu.make_grid = lambda *a, **k: None
-        tv.utils = tvu
+    tv.utils = tvu
     if "omegaconf" not in sys.modules:
         oc = _stub("omegaconf")
 

@@ -21,11 +21,20 @@ from multishiftseg_tpu.models.swin import SWIN_CONFIGS, SwinTransformer
 def _stub_timm():
     if "timm.models.layers" in sys.modules:
         return
+    import importlib.machinery
+
     import torch.nn as tnn
 
-    timm = types.ModuleType("timm")
-    models = types.ModuleType("timm.models")
-    layers = types.ModuleType("timm.models.layers")
+    def _mod(name):
+        m = types.ModuleType(name)
+        # non-None spec: transformers probes timm with find_spec, which raises
+        # ValueError on __spec__ None (suite-order pollution otherwise)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        return m
+
+    timm = _mod("timm")
+    models = _mod("timm.models")
+    layers = _mod("timm.models.layers")
 
     class DropPath(tnn.Module):  # identity at eval / drop_path_rate=0
         def __init__(self, drop_prob=None):
