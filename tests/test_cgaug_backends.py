@@ -196,3 +196,94 @@ def test_train_backends_drivers(tmp_path):
     )
     assert np.isfinite(loss)
     assert CheckpointManager(str(tmp_path / "out2")).exists("segmenter_last")
+
+
+def test_generation_e2e_with_pretrained_weight_stack(tmp_path):
+    """MultiShiftGenerator.run() through the PRETRAINED-WEIGHT backend family at
+    tiny configs (random init): SDControlNetGenerator (SD UNet + ControlNet
+    branch + CLIP BPE tokenizer + VAE, the `control_sd15_seg.pth` consumers)
+    filling the diffusion slot and SAMSegmenter (ViT-det + two-way decoder, the
+    `sam_vit_h_4b8939.pth` consumer) filling the segmenter slot — the exact
+    pair ``cgaug.weights.build_real_backends`` assembles, so the full-scale
+    wiring is exercised end-to-end without the checkpoints. iou_threshold=-1:
+    random weights produce arbitrary masks; the plumbing, shapes, and driver
+    protocol are under test, not generation quality."""
+    import dataclasses
+
+    from test_sd_controlnet import _write_tiny_vocab
+
+    from multishiftseg_tpu.cgaug.clip_text import (CLIPTextEncoder,
+                                                   CLIPTokenizer,
+                                                   tiny_clip_config)
+    from multishiftseg_tpu.cgaug.generate import (GenerationConfig,
+                                                  MultiShiftGenerator)
+    from multishiftseg_tpu.cgaug.sam import (SAM, SAMSegmenter,
+                                             tiny_sam_config)
+    from multishiftseg_tpu.cgaug.sd_pipeline import (ControlNetPipeline,
+                                                     SamplerConfig,
+                                                     SDControlNetGenerator)
+    from multishiftseg_tpu.cgaug.sd_unet import (ControlNetBranch, SDUNet,
+                                                 tiny_sd_config)
+    from multishiftseg_tpu.cgaug.sd_vae import AutoencoderKL, tiny_vae_config
+
+    h = w = 64  # label/image size; latent = /8, tiny VAE upsamples x8 back
+    k = jax.random.PRNGKey(0)
+    vp, mp = _write_tiny_vocab(tmp_path)
+    tok = CLIPTokenizer(vp, mp, max_len=16)
+    ucfg = tiny_sd_config()
+    vcfg = tiny_vae_config(ch_mult=(1, 1, 2, 2))  # 4 levels -> x8 decode
+    ccfg = dataclasses.replace(tiny_clip_config(), vocab_size=len(tok.encoder),
+                               max_len=16, width=ucfg.context_dim)
+
+    lat = jnp.zeros((1, h // 8, w // 8, 4))
+    hint = jnp.zeros((1, h, w, 3))
+    ctx = jnp.zeros((1, 16, ccfg.width))
+    ts = jnp.zeros((1,), jnp.int32)
+    params = {
+        "unet": SDUNet(ucfg).init(k, lat, ts, ctx)["params"],
+        "control": ControlNetBranch(ucfg).init(k, lat, hint, ts, ctx)["params"],
+        "vae": AutoencoderKL(vcfg).init(k, jnp.zeros((1, h, w, 3)))["params"],
+        "clip": CLIPTextEncoder(ccfg).init(k, jnp.zeros((1, 16), jnp.int32))["params"],
+    }
+    pipe = ControlNetPipeline(params, unet_cfg=ucfg, vae_cfg=vcfg, clip_cfg=ccfg,
+                              sampler=SamplerConfig(steps=2, num_train_timesteps=20))
+    diffusion = SDControlNetGenerator(params, tok, pipeline=pipe)
+
+    scfg = tiny_sam_config()
+    sam_params = SAM(scfg).init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, scfg.img_size, scfg.img_size, 3)),
+        jnp.asarray([[4.0, 4.0, 40.0, 40.0]]),
+    )["params"]
+    segmenter = SAMSegmenter(sam_params, scfg)
+
+    class RectSource:
+        def sample(self, rng):
+            m = np.zeros((100, 100), np.uint8)
+            m[10:90, 20:80] = 1
+            return m, "sofa"
+
+    gen = MultiShiftGenerator(
+        diffusion=diffusion, anomaly_source=RectSource(), segmenter=segmenter,
+        cfg=GenerationConfig(iou_threshold=-1.0, max_retries=2, seed=0),
+    )
+
+    color = np.zeros((h, w, 3), np.uint8)
+    color[:] = (70, 130, 180)  # sky
+    color[h // 3:] = (128, 64, 128)  # road
+    color_p = tmp_path / "bochum_000000_000019_gtFine_color.png"
+    Image.fromarray(color).save(color_p)
+    tid_p = tmp_path / "bochum_000000_000019_gtFine_labelTrainIds.png"
+    Image.fromarray(np.zeros((h, w), np.uint8)).save(tid_p)
+
+    out_img, out_lbl = tmp_path / "img", tmp_path / "lbl"
+    gen.run([str(color_p)], [str(tid_p)], str(out_img), str(out_lbl))
+
+    imgs = list(out_img.glob("*.png"))
+    lbls = list(out_lbl.glob("*.png"))
+    assert len(imgs) == 1 and len(lbls) == 1
+    image = np.asarray(Image.open(imgs[0]))
+    label = np.asarray(Image.open(lbls[0]))
+    assert image.shape == (h, w, 3) and image.dtype == np.uint8
+    assert (label == 254).sum() > 50  # pasted anomaly pixels marked OOD
+    assert gen.stats["accepted"] == 1 and gen.stats["attempts"] == 1
