@@ -80,7 +80,7 @@ class MaskFormer(nn.Module):
                 dtype=self.dtype, name="pixel_decoder",
                 quantize_table=self.quantize_deform_table,
                 sample_mode=self.deform_sample_mode,
-            )(feats)
+            )(feats, train=train)
         elif self.pixel_decoder == "fpn":
             from .fpn_decoder import BasePixelDecoder
 

@@ -47,6 +47,7 @@ class DeformableEncoderLayer(nn.Module):
     dtype: Optional[jnp.dtype] = None
     quantize_table: bool = False
     sample_mode: str = "bilinear"
+    tag_core: bool = False  # checkpoint_name the attn core (train/remat only)
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes):
@@ -55,6 +56,7 @@ class DeformableEncoderLayer(nn.Module):
             d_model=self.d_model, n_levels=self.n_levels, n_heads=self.n_heads,
             n_points=self.n_points, dtype=self.dtype, name="self_attn",
             quantize_table=self.quantize_table, sample_mode=self.sample_mode,
+            tag_core=self.tag_core,
         )(q, reference_points, src, spatial_shapes)
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src + attn_out)
         ffn = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(src)
@@ -77,7 +79,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
     sample_mode: str = "bilinear"  # "nearest" = approximate deformable sampling
 
     @nn.compact
-    def __call__(self, features: Dict[str, jax.Array]):
+    def __call__(self, features: Dict[str, jax.Array], train: bool = False):
         """Returns (mask_features [N,H/4,W/4,mask_dim], encoder_top, multi_scale feats
         [stride32, stride16, stride8])."""
         L = len(self.transformer_in_features)
@@ -109,22 +111,28 @@ class MSDeformAttnPixelDecoder(nn.Module):
             ref[None, :, None, :], (src.shape[0], ref.shape[0], L, 2)
         )
 
-        # Rematerialize each encoder layer: the gather VJP otherwise saves the
-        # ~[N*M, Lq, P, 2, 2, D] patch tensors of all 6 layers (several GB at training
-        # shapes), which exhausts HBM and faults the device. Recomputing the layer in
-        # the backward trades ~15% encoder FLOPs for bounded memory. The policy
-        # exempts the deformable core output ("deform_core", ~42 MB/layer bf16):
-        # saving it DCEs the core's gather+dot chain out of the recompute while
-        # the projections/FFN still rematerialize.
+        # Rematerialize each encoder layer, in BOTH modes. Training: the gather
+        # VJP otherwise saves the ~[N*M, Lq, P, 2, 2, D] patch tensors of all 6
+        # layers (several GB at training shapes), which exhausts HBM and faults
+        # the device. Eval: remat is kept — it is the configuration all PERF.md
+        # eval numbers were measured under, and same-window A/B shows it is
+        # free (eval deltas from remat/tag are below the day-to-day variance of
+        # the tunneled chip; see PERF.md round-3 note). Train-only policy:
+        # saving the tagged deformable core output ("deform_core", ~42 MB/layer
+        # bf16) DCEs the core's gather+dot chain out of the backward recompute
+        # (1195 -> 945 ms/step, same-harness A/B, PERF.md); the tag is off at
+        # eval to keep the measured-headline graph unchanged.
         layer_cls = nn.remat(
             DeformableEncoderLayer, static_argnums=(4,),
-            policy=jax.checkpoint_policies.save_only_these_names("deform_core"),
+            policy=(jax.checkpoint_policies.save_only_these_names("deform_core")
+                    if train else None),
         )
         for i in range(self.transformer_enc_layers):
             src = layer_cls(
                 d_model=self.conv_dim, n_levels=L, n_heads=self.n_heads,
                 n_points=self.n_points, dtype=self.dtype, name=f"encoder_layer_{i}",
                 quantize_table=self.quantize_table, sample_mode=self.sample_mode,
+                tag_core=train,
             )(src, pos, ref, shapes)
 
         # split back to 2-D maps, low -> high resolution

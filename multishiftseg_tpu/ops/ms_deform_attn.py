@@ -507,6 +507,7 @@ class MSDeformAttn(nn.Module):
     dtype: Optional[jnp.dtype] = None
     quantize_table: bool = False
     sample_mode: str = "bilinear"  # "nearest" = approximate eval fast path
+    tag_core: bool = False  # name the core output for remat policies (train)
 
     @nn.compact
     def __call__(
@@ -558,8 +559,11 @@ class MSDeformAttn(nn.Module):
         # this [N, Lq, M*D] activation (~42 MB/layer bf16 at train shapes) lets
         # the remat recompute DCE the whole core forward — table build, window
         # gather, weight-dot — leaving only the cheap projections to replay.
-        # A no-op when no policy names it (eval, or remat-free callers).
-        out = checkpoint_name(out, "deform_core")
+        # Train-only (tag_core): eval keeps the untagged graph the PERF.md
+        # headlines were measured on (same-window A/B shows the tag is neutral
+        # there; day-to-day chip variance dominates).
+        if self.tag_core:
+            out = checkpoint_name(out, "deform_core")
         return nn.Dense(
             self.d_model, dtype=self.dtype,
             kernel_init=nn.initializers.xavier_uniform(),
