@@ -268,13 +268,16 @@ class _TwoWayBlock(nn.Module):
         cfg = self.cfg
         dim, ds = cfg.embed_dim, cfg.decoder_downsample
         if self.skip_first_pe:
-            q = _DecoderAttention(cfg.decoder_heads, dim, name="self_attn")(
+            # segment_anything TwoWayAttentionBlock: the skip_first_layer_pe
+            # branch REPLACES queries with the attention output (no residual)
+            queries = _DecoderAttention(cfg.decoder_heads, dim, name="self_attn")(
                 queries, queries, queries)
         else:
             qpe = queries + query_pe
             q = _DecoderAttention(cfg.decoder_heads, dim, name="self_attn")(
                 qpe, qpe, queries)
-        queries = nn.LayerNorm(epsilon=1e-5, name="norm1")(queries + q)
+            queries = queries + q
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm1")(queries)
         a = _DecoderAttention(cfg.decoder_heads, dim // ds,
                               name="cross_attn_token_to_image")(
             queries + query_pe, keys + key_pe, keys)

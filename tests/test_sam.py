@@ -184,3 +184,73 @@ def test_segmenter_protocol(tiny):
     img = (np.random.RandomState(6).rand(40, 40, 3) * 255).astype(np.uint8)
     mask = seg.segment_box(img, np.array([8, 8, 30, 30]))
     assert mask.shape == (40, 40) and mask.dtype == bool
+
+
+def _np_dense(p, x):
+    return x @ np.asarray(p["kernel"]) + np.asarray(p["bias"])
+
+
+def _np_attention(p, q, k, v, heads):
+    """segment_anything modeling/transformer.py::Attention in numpy."""
+    qq, kk, vv = _np_dense(p["q_proj"], q), _np_dense(p["k_proj"], k), _np_dense(p["v_proj"], v)
+    b, n, inner = qq.shape
+    d = inner // heads
+    qq = qq.reshape(b, n, heads, d)
+    kk = kk.reshape(b, -1, heads, d)
+    vv = vv.reshape(b, -1, heads, d)
+    sim = np.einsum("bnhd,bmhd->bhnm", qq, kk) / np.sqrt(d)
+    sim = sim - sim.max(-1, keepdims=True)
+    pm = np.exp(sim)
+    pm /= pm.sum(-1, keepdims=True)
+    o = np.einsum("bhnm,bmhd->bnhd", pm, vv).reshape(b, n, inner)
+    return _np_dense(p["out_proj"], o)
+
+
+def _np_ln(p, x, eps=1e-5):
+    mu = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * np.asarray(p["scale"]) + np.asarray(p["bias"])
+
+
+@pytest.mark.parametrize("skip_first", [True, False])
+def test_two_way_block_matches_published_formula(skip_first):
+    """The two-way decoder block vs a numpy oracle implementing the PUBLISHED
+    segment_anything ``TwoWayAttentionBlock.forward`` exactly — in particular
+    the ``skip_first_layer_pe`` branch REPLACES queries with the self-attention
+    output (no residual) before norm1."""
+    from multishiftseg_tpu.cgaug.sam import _TwoWayBlock
+
+    cfg = tiny_sam_config()
+    rng = np.random.RandomState(3)
+    q = rng.randn(2, 5, cfg.embed_dim).astype(np.float32)
+    keys = rng.randn(2, 9, cfg.embed_dim).astype(np.float32)
+    qpe = rng.randn(2, 5, cfg.embed_dim).astype(np.float32)
+    kpe = rng.randn(2, 9, cfg.embed_dim).astype(np.float32)
+
+    blk = _TwoWayBlock(cfg, skip_first_pe=skip_first)
+    var = blk.init(jax.random.PRNGKey(0), jnp.asarray(q), jnp.asarray(keys),
+                   jnp.asarray(qpe), jnp.asarray(kpe))
+    out_q, out_k = blk.apply(var, jnp.asarray(q), jnp.asarray(keys),
+                             jnp.asarray(qpe), jnp.asarray(kpe))
+
+    p = jax.tree.map(np.asarray, var["params"])
+    heads = cfg.decoder_heads
+    # --- numpy oracle: TwoWayAttentionBlock.forward ---
+    queries = q
+    if skip_first:
+        queries = _np_attention(p["self_attn"], queries, queries, queries, heads)
+    else:
+        qq = queries + qpe
+        queries = queries + _np_attention(p["self_attn"], qq, qq, queries, heads)
+    queries = _np_ln(p["norm1"], queries)
+    a = _np_attention(p["cross_attn_token_to_image"], queries + qpe, keys + kpe,
+                      keys, heads)
+    queries = _np_ln(p["norm2"], queries + a)
+    m = _np_dense(p["mlp_lin2"], np.maximum(_np_dense(p["mlp_lin1"], queries), 0.0))
+    queries = _np_ln(p["norm3"], queries + m)
+    a = _np_attention(p["cross_attn_image_to_token"], keys + kpe, queries + qpe,
+                      queries, heads)
+    expect_k = _np_ln(p["norm4"], keys + a)
+
+    np.testing.assert_allclose(np.asarray(out_q), queries, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_k), expect_k, atol=2e-5)
