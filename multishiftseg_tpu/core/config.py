@@ -94,6 +94,9 @@ class M2FModelConfig:
     semantic_on: bool = True
     instance_on: bool = False
     panoptic_on: bool = False
+    # static padded per-image segment count for the instance/panoptic trainer
+    # (TPU static-shape knob; the torch reference keeps dynamic shapes)
+    max_instances: int = 48
     ood_finetune: bool = True
     ood_loss: str = "margin"  # margin | bce | RCL
     margin: float = 1.0

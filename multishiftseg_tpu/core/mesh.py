@@ -82,21 +82,27 @@ def fit_mesh_to_batch(global_batch: int, num_devices: int = 0) -> Mesh:
     return make_mesh(num_devices=n)
 
 
-def make_train_mesh(global_rows: int, num_devices: int = 0) -> Mesh:
-    """The trainers' mesh: single-process -> :func:`fit_mesh_to_batch` over local
-    devices; multi-process -> the host-major :func:`make_global_mesh` (refusing
-    batch sizes the global data axis cannot divide — silent truncation would
+def make_train_mesh(half_rows: int, num_devices: int = 0) -> Mesh:
+    """The trainers' mesh, sized for the PAIRED [clean ‖ augmented] batch.
+
+    ``half_rows`` is one half (``cfg.train.train_batch``). Single-process: the
+    halves are concatenated on host, so the data axis fits the full ``2 *
+    half_rows`` paired batch (all local devices up to that size — devices are
+    never idled when ``device_count <= 2 * half_rows``). Multi-process: the
+    halves are fed as separate global arrays and concatenated inside jit (a
+    host-side concat would interleave the halves per host), so the global data
+    axis must divide ONE half — refuse otherwise (silent truncation would
     desynchronize the hosts' jit programs)."""
     if jax.process_count() > 1:
         mesh = make_global_mesh()
         n = mesh.shape[DATA_AXIS]
-        if global_rows % n != 0:
+        if half_rows % n != 0:
             raise ValueError(
-                f"global batch rows {global_rows} not divisible by the global "
+                f"per-half batch rows {half_rows} not divisible by the global "
                 f"data axis ({n} devices over {jax.process_count()} hosts)"
             )
         return mesh
-    return fit_mesh_to_batch(global_rows, num_devices)
+    return fit_mesh_to_batch(2 * half_rows, num_devices)
 
 
 def default_device_count(requested: int = 0) -> int:

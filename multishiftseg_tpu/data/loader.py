@@ -61,6 +61,11 @@ class Loader:
         self.prefetch = prefetch
         self.device_put = device_put
         assert 0 <= shard_index < shard_count
+        if shard_count > 1 and not drop_last:
+            # a partial final global batch would give hosts different (possibly
+            # empty) slice lengths and desynchronize the collective assembly in
+            # shard_global_batch — the multi-host contract requires drop_last
+            raise ValueError("shard_count > 1 requires drop_last=True")
         self.shard_index = shard_index
         self.shard_count = shard_count
 

@@ -127,6 +127,22 @@ def instance_to_targets(
     )
 
 
+def remap_classes(tgt: SegmentTargets, class_map: Dict[int, int]) -> SegmentTargets:
+    """Raw dataset category ids -> contiguous training ids, DROPPING segments
+    whose class is absent from the map (their pixels become ignore). The
+    reference does this through detectron2 metadata
+    (``thing_dataset_id_to_contiguous_id`` in the cityscapes/coco loaders)."""
+    keep = [i for i, c in enumerate(tgt.classes) if int(c) in class_map]
+    remap = -np.ones(len(tgt.classes) + 1, np.int32)
+    remap[keep] = np.arange(len(keep), dtype=np.int32)
+    id_map = np.where(tgt.id_map >= 0, remap[tgt.id_map], -1).astype(np.int32)
+    return SegmentTargets(
+        id_map,
+        np.asarray([class_map[int(tgt.classes[i])] for i in keep], np.int64),
+        tgt.is_thing[keep] if len(keep) else np.zeros(0, bool),
+    )
+
+
 def coco_annotations_to_targets(
     annotations: Sequence[Dict], image_hw: Tuple[int, int]
 ) -> SegmentTargets:

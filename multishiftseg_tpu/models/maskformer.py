@@ -36,8 +36,11 @@ class MaskFormer(nn.Module):
     ``pixel_decoder`` selects among the registered alternatives (reference registry
     names): 'msdeformattn' (MSDeformAttnPixelDecoder, the shipped config), 'fpn'
     (BasePixelDecoder), 'transformer_encoder' (MaskFormer-v1).
-    ``predictor``: 'gma' (MultiScaleMaskedTransformerDecoder_GMA, dual OOD heads) or
-    'vanilla' (MultiScaleMaskedTransformerDecoder).
+    ``predictor``: 'gma' (MultiScaleMaskedTransformerDecoder_GMA, dual OOD heads),
+    'vanilla' (MultiScaleMaskedTransformerDecoder), or 'standard'
+    (StandardTransformerDecoder — MaskFormer-v1, fed the encoder feature like the
+    reference's ``transformer_in_feature: transformer_encoder`` wiring,
+    ``mask_former_head.py:100-115``).
     """
 
     num_classes: int = 19
@@ -74,7 +77,7 @@ class MaskFormer(nn.Module):
             raise ValueError(f"unknown backbone {self.backbone}")
 
         if self.pixel_decoder == "msdeformattn":
-            mask_features, _, multi_scale = MSDeformAttnPixelDecoder(
+            mask_features, encoder_feat, multi_scale = MSDeformAttnPixelDecoder(
                 conv_dim=self.hidden_dim, mask_dim=self.mask_dim,
                 transformer_enc_layers=self.transformer_enc_layers,
                 dtype=self.dtype, name="pixel_decoder",
@@ -84,14 +87,14 @@ class MaskFormer(nn.Module):
         elif self.pixel_decoder == "fpn":
             from .fpn_decoder import BasePixelDecoder
 
-            mask_features, _, multi_scale = BasePixelDecoder(
+            mask_features, encoder_feat, multi_scale = BasePixelDecoder(
                 conv_dim=self.hidden_dim, mask_dim=self.mask_dim,
                 dtype=self.dtype, name="pixel_decoder",
             )(feats)
         elif self.pixel_decoder == "transformer_encoder":
             from .fpn_decoder import TransformerEncoderPixelDecoder
 
-            mask_features, _, multi_scale = TransformerEncoderPixelDecoder(
+            mask_features, encoder_feat, multi_scale = TransformerEncoderPixelDecoder(
                 conv_dim=self.hidden_dim, mask_dim=self.mask_dim,
                 transformer_enc_layers=self.transformer_enc_layers,
                 dtype=self.dtype, name="pixel_decoder",
@@ -114,6 +117,12 @@ class MaskFormer(nn.Module):
 
             return MultiScaleMaskedTransformerDecoder(**decoder_kwargs)(
                 multi_scale, mask_features
+            )
+        elif self.predictor == "standard":
+            from .maskformer_v1_decoder import StandardTransformerDecoder
+
+            return StandardTransformerDecoder(**decoder_kwargs)(
+                encoder_feat, mask_features
             )
         raise ValueError(f"unknown predictor {self.predictor}")
 

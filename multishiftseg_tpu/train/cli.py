@@ -43,6 +43,10 @@ def main():
 
     if args.model == "deeplab":
         from .deeplab_trainer import TrainDeepLabOOD as Trainer
+    elif cfg.model.m2f.instance_on or cfg.model.m2f.panoptic_on:
+        # the instance/panoptic config family routes to the vanilla-decoder
+        # per-segment-target trainer (no OOD machinery)
+        from .instance_trainer import TrainM2FInstance as Trainer
     else:
         from .m2f_trainer import TrainM2FOOD as Trainer
 

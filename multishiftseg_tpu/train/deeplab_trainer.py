@@ -26,7 +26,7 @@ import numpy as np
 from ..core.config import Config
 from ..core.mesh import (
     DATA_AXIS, data_sharded, fit_mesh_to_batch, make_mesh, make_train_mesh,
-    replicated, shard_global_batch,
+    replicated, shard_batch, shard_global_batch,
 )
 from ..data.anomaly import RoadAnomaly21
 from ..data.cityscapes import DiverseCityscapes
@@ -105,9 +105,9 @@ class TrainDeepLabOOD:
     def __init__(self, cfg: Config, weight_path: Optional[str] = None,
                  model: Optional[DeepWV3Plus] = None):
         self.cfg = cfg
-        # the clean and generated halves are sharded separately (the paired step
-        # concatenates them inside jit), so the data axis must divide ONE half;
-        # under a multi-process launch this is the host-major global mesh
+        # single-process: halves concatenated on host, data axis fits 2B rows;
+        # multi-process: host-major global mesh, halves fed as separate global
+        # arrays (in-jit concat), data axis must divide ONE half (core.mesh)
         self.mesh = make_train_mesh(cfg.train.train_batch, cfg.train.num_devices)
         if cfg.train.train_batch % jax.process_count() != 0:
             raise ValueError(
@@ -206,7 +206,8 @@ class TrainDeepLabOOD:
         # replicate the state over the (possibly global) mesh so every host's jit
         # sees identically-placed inputs
         state = jax.device_put(state, replicated(self.mesh))
-        train_step = make_train_step(self.model, tx, self.rcl_params, paired=True)
+        paired = jax.process_count() > 1
+        train_step = make_train_step(self.model, tx, self.rcl_params, paired=paired)
         stage = 0
 
         for epoch in range(start_epoch, cfg.train.n_epochs):
@@ -219,19 +220,27 @@ class TrainDeepLabOOD:
                     opt_state=jax.device_put(opt_state, replicated(self.mesh))
                 )
                 train_step = make_train_step(self.model, tx, self.rcl_params,
-                                             paired=True)
+                                             paired=paired)
 
             t0 = time.time()
             n_img = 0
             for img, target, gen_img, gen_target in loader:
-                # each half is assembled into a GLOBAL batch-sharded array from this
-                # host's slice; the paired step concats [clean ‖ aug] inside jit
-                # (process-count-1 degenerates to a plain sharded device_put)
-                b = shard_global_batch(
-                    (img, gen_img, target, gen_target), self.mesh
-                )
+                if paired:
+                    # multi-host: each half is assembled into a GLOBAL batch-
+                    # sharded array from this host's slice; the paired step
+                    # concats [clean ‖ aug] inside jit
+                    b = shard_global_batch(
+                        (img, gen_img, target, gen_target), self.mesh
+                    )
+                else:
+                    # single-process: concat on host so the data axis spans the
+                    # full 2B paired rows (no idle devices when devices > B)
+                    b = shard_batch(
+                        (np.concatenate([img, gen_img]),
+                         np.concatenate([target, gen_target])), self.mesh
+                    )
                 state, loss, aux = train_step(state, *b)
-                n_img += b[0].shape[0] * 2
+                n_img += img.shape[0] * 2
             dt = time.time() - t0
             log.warning(
                 "epoch %d loss %.4f (%.1f img/s)", epoch, float(loss),

@@ -1,0 +1,307 @@
+"""Vanilla Mask2Former instance / panoptic segmentation trainer.
+
+The reference ships the full instance/panoptic detectron2 config family
+(``configs/mask2former-cityscapes/{instance,panoptic}-segmentation/``) but no
+entry point ever exercises it (SURVEY §2.2 — the OOD trainers hardcode
+``anomaly_ft.yaml``). This framework closes the loop: the
+``exps/m2f_{instance,panoptic}*.yaml`` configs select this trainer (via
+``train.cli`` on the ``instance_on`` / ``panoptic_on`` switches), which feeds
+:mod:`multishiftseg_tpu.data.mappers` per-segment targets — duplicate classes
+allowed, exactly the reference ``prepare_targets`` semantics
+(``maskformer_model.py:316-339``) — into
+:func:`multishiftseg_tpu.losses.criterion.set_criterion_instance` through the
+vanilla (non-anomaly) decoder, with the official AdamW groups + global clip.
+
+TPU-first shape discipline: targets are a static ``[H, W]`` segment id map plus
+a padded ``[T]`` class vector (``T = cfg.model.m2f.max_instances``); images with
+more segments keep the T largest (logged). One jitted step, batch-sharded over
+the train mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..core.config import Config
+from ..core.mesh import fit_mesh_to_batch, replicated, shard_batch
+from ..data.loader import Loader
+from ..data.mappers import (SegmentTargets, instance_to_targets,
+                            panoptic_to_targets, remap_classes, rgb2id)
+from ..data.registry import DatasetCatalog, MetadataCatalog
+from ..data.transforms import (Compose, Normalize, RandCrop, RandHorizontalFlip,
+                               Sample, ToTensor)
+from ..losses.criterion import CriterionConfig, set_criterion_instance
+from ..models.maskformer import MaskFormer
+from .checkpoint import CheckpointManager
+from .state import TrainState, build_m2f_official_optimizer
+
+log = logging.getLogger(__name__)
+
+
+def clip_targets(tgt: SegmentTargets, k_max: int) -> SegmentTargets:
+    """Keep the ``k_max`` largest segments (by pixel count) and renumber the id
+    map accordingly — the static-shape stand-in for the reference's unbounded
+    per-image instance list."""
+    k = len(tgt.classes)
+    if k <= k_max:
+        return tgt
+    areas = np.bincount(tgt.id_map[tgt.id_map >= 0].ravel(), minlength=k)
+    keep = np.sort(np.argsort(areas)[::-1][:k_max])
+    remap = -np.ones(k + 1, np.int32)
+    remap[keep] = np.arange(k_max, dtype=np.int32)
+    id_map = np.where(tgt.id_map >= 0, remap[tgt.id_map], -1).astype(np.int32)
+    return SegmentTargets(id_map, tgt.classes[keep], tgt.is_thing[keep])
+
+
+class InstanceDataset:
+    """Catalog records -> ``(image [H,W,3] f32, id_map [H,W] i32, classes [T] i32)``.
+
+    ``task`` follows the registry metadata: 'instance' reads Cityscapes-style
+    ``instanceIds`` pngs (``class_id * divisor + instance``); 'panoptic' reads
+    COCO-panoptic RGB id pngs + per-record ``segments_info``. Geometry transforms
+    run on the raw encoded id map (nearest-neighbour, id-preserving); targets are
+    built AFTER augmentation, like the reference mappers.
+    """
+
+    def __init__(self, name: str, transform: Compose, max_instances: int,
+                 seed: int = 0):
+        self.records = DatasetCatalog.get(name)
+        self.meta = MetadataCatalog.get(name)
+        self.task = self.meta.get("task", "instance")
+        assert self.task in ("instance", "panoptic"), self.task
+        self.transform = transform
+        self.max_instances = max_instances
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self):
+        return len(self.records)
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def __getitem__(self, i: int):
+        rec = self.records[i]
+        rng = np.random.default_rng(
+            (self.seed * 100003 + self._epoch) * 1000003 + i)
+        img = np.asarray(Image.open(rec["file_name"]).convert("RGB"),
+                         np.float32) / 255.0
+        if self.task == "instance":
+            enc = np.asarray(Image.open(rec["instance_file_name"]), np.int32)
+        else:
+            enc = rgb2id(np.asarray(
+                Image.open(rec["pan_seg_file_name"]).convert("RGB"))).astype(np.int32)
+        s = self.transform(rng, Sample(img, enc))
+        if self.task == "instance":
+            tgt = instance_to_targets(
+                s.mask, divisor=self.meta.get("id_divisor", 1000))
+        else:
+            tgt = panoptic_to_targets(
+                s.mask, rec["segments_info"],
+                thing_ids=self.meta.get("thing_ids"))
+        class_map = self.meta.get("class_map")
+        if class_map:  # raw dataset ids -> contiguous training ids
+            tgt = remap_classes(tgt, class_map)
+        k = len(tgt.classes)
+        if k > self.max_instances:
+            log.warning("record %s: %d segments clipped to %d",
+                        rec["file_name"], k, self.max_instances)
+            tgt = clip_targets(tgt, self.max_instances)
+        tgt = tgt.padded(self.max_instances)
+        return (s.image.astype(np.float32), tgt.id_map.astype(np.int32),
+                tgt.classes.astype(np.int32))
+
+
+class TrainM2FInstance:
+    """Instance/panoptic training loop (non-paired batches, no OOD machinery)."""
+
+    def __init__(self, cfg: Config, weight_path: Optional[str] = None,
+                 model: Optional[MaskFormer] = None,
+                 dataset_name: Optional[str] = None):
+        self.cfg = cfg
+        m = cfg.model.m2f
+        self.task = "panoptic" if m.panoptic_on else "instance"
+        # batches are NOT paired here — the data axis fits train_batch rows
+        self.mesh = fit_mesh_to_batch(cfg.train.train_batch, cfg.train.num_devices)
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "instance trainer is single-host for now; the OOD trainers carry "
+                "the multi-host path")
+        self.model = model or MaskFormer(
+            num_classes=m.num_classes, backbone=m.backbone,
+            hidden_dim=m.hidden_dim, num_queries=m.num_queries, nheads=m.nheads,
+            dim_feedforward=m.dim_feedforward, dec_layers=m.dec_layers - 1,
+            mask_dim=m.mask_dim, transformer_enc_layers=m.transformer_enc_layers,
+            pixel_decoder=m.pixel_decoder, predictor=m.transformer_decoder,
+            dtype=jnp.bfloat16 if cfg.train.bf16 else None,
+        )
+        self.crit_cfg = CriterionConfig(
+            num_classes=m.num_classes, eos_coef=m.no_object_weight,
+            num_points=m.train_num_points, oversample_ratio=m.oversample_ratio,
+            importance_sample_ratio=m.importance_sample_ratio,
+            class_weight=m.class_weight, mask_weight=m.mask_weight,
+            dice_weight=m.dice_weight, ood_weight=0.0, ood_loss="none",
+            deep_supervision=m.deep_supervision,
+            mask_loss_with_pixel_selection=False,
+        )
+        self.dataset_name = dataset_name or self._register_default()
+        self.ckpt = CheckpointManager(cfg.model_dir)
+        self.variables = self._build_variables(weight_path)
+
+    def _register_default(self) -> str:
+        """Register the Cityscapes-layout dataset under ``cfg.data.cityscapes_root``
+        (the path the reference's Base-Cityscapes yamls assume)."""
+        import os
+
+        from ..data.registry import (register_instance_folder,
+                                     register_panoptic_folder)
+
+        from ..data.cityscapes import LABELS
+
+        root = self.cfg.data.cityscapes_root
+        name = f"cityscapes_{self.task}_train"
+        if name in DatasetCatalog.list():
+            return name
+        # the raw-id -> contiguous maps detectron2 keeps in dataset metadata:
+        # things (hasInstances & !ignoreInEval) -> 0..7; panoptic raw id -> trainId
+        thing_raw = [l.id for l in LABELS if l.has_instances and not l.ignore_in_eval]
+        if self.task == "instance":
+            register_instance_folder(
+                name,
+                image_dir=os.path.join(root, "leftImg8bit", "train"),
+                instance_dir=os.path.join(root, "gtFine", "train"),
+            )
+            MetadataCatalog.set(
+                name, class_map={c: i for i, c in enumerate(thing_raw)})
+        else:
+            register_panoptic_folder(
+                name,
+                image_dir=os.path.join(root, "leftImg8bit", "train"),
+                panoptic_dir=os.path.join(root, "gtFine",
+                                          "cityscapes_panoptic_train"),
+                panoptic_json=os.path.join(
+                    root, "gtFine", "cityscapes_panoptic_train.json"),
+                thing_ids=thing_raw,
+            )
+            MetadataCatalog.set(
+                name, class_map={l.id: l.train_id for l in LABELS
+                                 if 0 <= l.train_id < 255})
+        return name
+
+    def _build_variables(self, weight_path: Optional[str]):
+        if weight_path:
+            from ..convert.torch2jax import (convert_maskformer,
+                                             load_torch_checkpoint)
+
+            log.info("loading torch checkpoint %s", weight_path)
+            return jax.tree_util.tree_map(jnp.asarray, convert_maskformer(
+                load_torch_checkpoint(weight_path),
+                dec_layers=self.cfg.model.m2f.dec_layers - 1,
+            ))
+        log.warning("no weight_path; training from random init")
+        h, w = self.cfg.data.crop_size
+        hp, wp = -(-h // 32) * 32, -(-w // 32) * 32
+        return jax.jit(self.model.init, static_argnames=("train",))(
+            {"params": jax.random.PRNGKey(self.cfg.train.seed)},
+            jnp.zeros((1, hp, wp, 3), jnp.float32), train=False,
+        )
+
+    def build_dataset(self) -> InstanceDataset:
+        d = self.cfg.data
+        transform = Compose([
+            [ToTensor(), 1.0],
+            [RandHorizontalFlip(), 0.5],
+            [RandCrop(size=tuple(d.crop_size)), 1.0],
+            [Normalize(mean=d.mean, std=d.std), 1.0],
+        ])
+        return InstanceDataset(self.dataset_name, transform,
+                               self.cfg.model.m2f.max_instances,
+                               seed=self.cfg.train.seed)
+
+    def make_train_step(self, tx):
+        model, crit_cfg = self.model, self.crit_cfg
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state: TrainState, img, id_map, classes):
+            rng, step_rng, drop_rng = jax.random.split(state.rng, 3)
+
+            def loss_fn(params):
+                outputs = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats}, img,
+                    train=True, rngs={"dropout": drop_rng},
+                )
+                return set_criterion_instance(
+                    outputs, id_map, classes, step_rng, crit_cfg)
+
+            (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.params, updates)
+            return (
+                TrainState(params=new_params, batch_stats=state.batch_stats,
+                           opt_state=new_opt, step=state.step + 1, rng=rng),
+                loss, losses,
+            )
+
+        return step
+
+    def train(self, start_epoch: int = 0, resume: Optional[str] = None):
+        cfg = self.cfg
+        m = cfg.model.m2f
+        ds = self.build_dataset()
+        loader = Loader(ds, batch_size=cfg.train.train_batch, shuffle=True,
+                        drop_last=True, num_workers=cfg.data.num_workers,
+                        seed=cfg.train.seed)
+
+        if resume and self.ckpt.exists(resume):
+            restored = self.ckpt.restore(resume, {
+                "params": self.variables["params"],
+                "batch_stats": self.variables.get("batch_stats"),
+                "epoch": 0,
+            })
+            self.variables = {"params": restored["params"],
+                              "batch_stats": restored["batch_stats"]}
+            start_epoch = int(restored["epoch"]) + 1
+            log.warning("resumed %s at epoch %d", resume, start_epoch)
+
+        tx, opt_state = build_m2f_official_optimizer(
+            self.variables["params"], base_lr=m.base_lr,
+            weight_decay=m.weight_decay, clip_value=m.clip_gradients_value,
+            trainable_names=cfg.model.trainable_params_name or (".",),
+        )
+        step_fn = self.make_train_step(tx)
+        state = TrainState(
+            params=self.variables["params"],
+            batch_stats=self.variables.get("batch_stats"),
+            opt_state=opt_state, step=jnp.zeros((), jnp.int32),
+            rng=jax.random.PRNGKey(cfg.train.seed),
+        )
+        state = jax.device_put(state, replicated(self.mesh))
+
+        last_loss = float("nan")
+        for epoch in range(start_epoch, cfg.train.n_epochs):
+            ds.set_epoch(epoch)
+            t0, n_img = time.time(), 0
+            for img, id_map, classes in loader:
+                b = shard_batch((img, id_map, classes), self.mesh)
+                state, loss, losses = step_fn(state, *b)
+                n_img += img.shape[0]
+            last_loss = float(loss)
+            log.warning("epoch %d loss %.4f (%.1f img/s)", epoch, last_loss,
+                        n_img / max(time.time() - t0, 1e-9))
+            self.ckpt.save("last", params=state.params,
+                           batch_stats=state.batch_stats,
+                           opt_state=state.opt_state, epoch=epoch)
+
+        self.variables = {"params": state.params,
+                          "batch_stats": state.batch_stats}
+        return {"loss": last_loss}

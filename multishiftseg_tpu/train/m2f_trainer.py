@@ -27,7 +27,8 @@ import numpy as np
 
 from ..core.config import Config
 from ..core.mesh import (data_sharded, fit_mesh_to_batch, make_mesh,
-                         make_train_mesh, replicated, shard_global_batch)
+                         make_train_mesh, replicated, shard_batch,
+                         shard_global_batch)
 from ..data.anomaly import RoadAnomaly21
 from ..data.cityscapes import DiverseCityscapes
 from ..data.loader import Loader
@@ -59,10 +60,11 @@ class TrainM2FOOD:
     def __init__(self, cfg: Config, weight_path: Optional[str] = None,
                  model: Optional[MaskFormer] = None):
         self.cfg = cfg
-        # the clean and generated halves are sharded separately (the paired step
-        # concatenates them inside jit), so the data axis must divide ONE half;
-        # under a multi-process launch this is the host-major global mesh
+        # single-process: halves concatenated on host, data axis fits 2B rows;
+        # multi-process: host-major global mesh, halves fed as separate global
+        # arrays (in-jit concat), data axis must divide ONE half (core.mesh)
         self.mesh = make_train_mesh(cfg.train.train_batch, cfg.train.num_devices)
+        self._paired = jax.process_count() > 1
         if cfg.train.train_batch % jax.process_count() != 0:
             raise ValueError(
                 f"train_batch {cfg.train.train_batch} not divisible by "
@@ -83,7 +85,7 @@ class TrainM2FOOD:
             dim_feedforward=m.dim_feedforward, dec_layers=m.dec_layers - 1,
             mask_dim=m.mask_dim, transformer_enc_layers=m.transformer_enc_layers,
             pixel_decoder=m.pixel_decoder,
-            predictor="vanilla" if m.transformer_decoder == "vanilla" else "gma",
+            predictor=m.transformer_decoder,
             dtype=jnp.bfloat16 if cfg.train.bf16 else None,
         )
         self.rcl_params = make_rcl_params(cfg.loss.params)
@@ -164,7 +166,7 @@ class TrainM2FOOD:
             target = np.pad(target, ((0, 0), (0, ph), (0, pw)), constant_values=255)
         return img, target, (h, w)
 
-    def make_stage1_step(self, tx):
+    def make_stage1_step(self, tx, paired: bool = True):
         model, rcl_params = self.model, self.rcl_params
         crop_hw = tuple(self.cfg.data.crop_size)
 
@@ -195,9 +197,9 @@ class TrainM2FOOD:
                 loss, aux,
             )
 
-        return self._pairify(step)
+        return self._pairify(step) if paired else jax.jit(step, donate_argnums=(0,))
 
-    def make_stage2_step(self, tx):
+    def make_stage2_step(self, tx, paired: bool = True):
         model, crit_cfg, rcl_params = self.model, self.crit_cfg, self.rcl_params
         crop_hw = tuple(self.cfg.data.crop_size)
 
@@ -223,7 +225,7 @@ class TrainM2FOOD:
                 loss, losses,
             )
 
-        return self._pairify(step)
+        return self._pairify(step) if paired else jax.jit(step, donate_argnums=(0,))
 
     def _pairify(self, step):
         """Wrap a (state, img, target) step to take the clean/generated halves as
@@ -277,7 +279,7 @@ class TrainM2FOOD:
             self.variables["params"], cfg.train.lr, cfg.train.weight_decay,
             cfg.model.trainable_params_name,
         )
-        step_fn = self.make_stage1_step(tx)
+        step_fn = self.make_stage1_step(tx, paired=self._paired)
         state = TrainState(
             params=self.variables["params"],
             batch_stats=self.variables.get("batch_stats"),
@@ -300,16 +302,20 @@ class TrainM2FOOD:
                 state = state.replace(
                     opt_state=jax.device_put(opt_state, replicated(self.mesh))
                 )
-                step_fn = self.make_stage2_step(tx)
+                step_fn = self.make_stage2_step(tx, paired=self._paired)
                 log.warning("switched to stage-2 official loss + AdamW groups")
 
             t0, n_img = time.time(), 0
             for img, target, gen_img, gen_target in loader:
                 ic, tc, _ = self._pad_batch(img, target.astype(np.int32))
                 ig, tg, _ = self._pad_batch(gen_img, gen_target.astype(np.int32))
-                b = shard_global_batch((ic, ig, tc, tg), self.mesh)
+                if self._paired:  # multi-host: per-half global arrays
+                    b = shard_global_batch((ic, ig, tc, tg), self.mesh)
+                else:  # single-process: host concat, shard the full 2B rows
+                    b = shard_batch((np.concatenate([ic, ig]),
+                                     np.concatenate([tc, tg])), self.mesh)
                 state, loss, aux = step_fn(state, *b)
-                n_img += b[0].shape[0] * 2
+                n_img += ic.shape[0] * 2
             log.warning(
                 "epoch %d loss %.4f (%.1f img/s)", epoch, float(loss),
                 n_img / max(time.time() - t0, 1e-9),

@@ -56,6 +56,12 @@ def batched_valid(
             imgs = np.zeros((len(chunk), bh, bw, 3), np.float32)
             for j, item in enumerate(chunk):
                 img = item[0]
+                # buckets were computed from the on-disk size; a transform that
+                # rescales would silently break the bucketing contract
+                assert img.shape[0] <= bh and img.shape[1] <= bw, (
+                    f"transformed image {img.shape[:2]} exceeds its shape bucket "
+                    f"({bh}, {bw}) — the val transform must not enlarge images"
+                )
                 imgs[j, : img.shape[0], : img.shape[1]] = img
             anomaly = score_fn(jnp.asarray(imgs))
             for j, item in enumerate(chunk):

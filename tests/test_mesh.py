@@ -79,3 +79,21 @@ def test_loader_shard_contract():
                                 num_workers=1, seed=42)]
     for gi, gb in enumerate(full):
         assert gb == a[gi] + b[gi]
+
+
+def test_train_mesh_spans_paired_batch_single_process():
+    """Single-process feeding concatenates the halves on host, so the data axis
+    must fit the FULL 2B paired batch — with 8 devices and train_batch=4 all 8
+    devices are used (4 would idle if the mesh only fit one half)."""
+    m = M.make_train_mesh(4)
+    assert m.devices.size == min(8, len(jax.devices()))
+
+
+def test_loader_refuses_partial_global_batch_when_sharded():
+    """shard_count > 1 with drop_last=False would give hosts different slice
+    lengths on the final partial batch and desync shard_global_batch."""
+    from multishiftseg_tpu.data.loader import Loader
+
+    with pytest.raises(ValueError, match="drop_last"):
+        Loader(list(range(22)), batch_size=3, drop_last=False,
+               shard_index=0, shard_count=2)

@@ -110,3 +110,32 @@ def test_hflip_tta_symmetric(rng):
     img = jnp.asarray(rng.randn(1, 8, 10, 3).astype(np.float32))
     out = hflip_tta(fwd, img)
     np.testing.assert_allclose(np.asarray(out), np.asarray(fwd(img)), rtol=1e-6)
+
+
+def test_maskformer_standard_predictor(rng):
+    """MaskFormer-v1 wiring: the 'standard' predictor consumes the ENCODER
+    feature (transformer_in_feature: transformer_encoder, mask_former_head.py:
+    100-115) + mask features."""
+    model = MaskFormer(num_classes=5, hidden_dim=64, num_queries=8, nheads=4,
+                       dim_feedforward=128, dec_layers=3, mask_dim=64,
+                       transformer_enc_layers=1,
+                       pixel_decoder="transformer_encoder",
+                       predictor="standard")
+    img = jnp.zeros((1, 64, 128, 3))
+    v = model.init({"params": jax.random.PRNGKey(0)}, img, train=False)
+    out = model.apply(v, img, train=False)
+    assert set(out) == {"pred_logits", "pred_masks", "aux_outputs"}
+    assert out["pred_logits"].shape == (1, 8, 6)
+    assert len(out["aux_outputs"]) == 2
+
+
+def test_maskformer_unknown_predictor_raises(rng):
+    """A typo'd decoder name must raise, not silently fall back to GMA."""
+    import pytest as _pytest
+
+    model = MaskFormer(num_classes=5, hidden_dim=64, num_queries=8, nheads=4,
+                       dim_feedforward=128, dec_layers=3, mask_dim=64,
+                       transformer_enc_layers=1, predictor="vanila")
+    with _pytest.raises(ValueError, match="unknown predictor"):
+        model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 64, 64, 3)), train=False)
