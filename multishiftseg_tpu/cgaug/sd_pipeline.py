@@ -19,7 +19,6 @@ as one batch of 2N so the MXU sees doubled matmuls instead of two launches.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -82,22 +81,34 @@ class ControlNetPipeline:
         self.vae = AutoencoderKL(vae_cfg)
         self.clip = CLIPTextEncoder(clip_cfg)
         self.sampler = sampler
+        # params are explicit jit ARGUMENTS — capturing the 1.2B-param tree as
+        # closure constants bakes ~5 GB of literals into each compiled program
+        # (measured: the lowering itself emitted a 4.88 GB-constant warning and
+        # multiplied compile time)
+        self._sample_jit = jax.jit(self._sample_impl)
+        self._decode_jit = jax.jit(self._decode_impl)
+        self._encode_jit = jax.jit(self._encode_impl)
+
+    def _encode_impl(self, clip_params, tokens):
+        return self.clip.apply({"params": clip_params}, tokens)
 
     def encode_text(self, tokens: jax.Array) -> jax.Array:
-        return self.clip.apply({"params": self.params["clip"]}, tokens)
+        return self._encode_jit(self.params["clip"], tokens)
 
-    def _eps(self, x, hint, t, context):
+    def _eps(self, params, x, hint, t, context):
         """cond/uncond stacked eps prediction with control residuals."""
-        ctrl = self.control.apply({"params": self.params["control"]},
+        ctrl = self.control.apply({"params": params["control"]},
                                   x, hint, t, context)
         ctrl = [c * self.sampler.control_scale for c in ctrl]
-        return self.unet.apply({"params": self.params["unet"]},
+        return self.unet.apply({"params": params["unet"]},
                                x, t, context, control=ctrl)
 
-    @functools.partial(jax.jit, static_argnums=0)
     def sample(self, x_T: jax.Array, hint: jax.Array, ctx_cond: jax.Array,
                ctx_uncond: jax.Array) -> jax.Array:
         """DDIM sampling of latents [N, h, w, 4]; hint [N, H, W, 3] in [0,1]."""
+        return self._sample_jit(self.params, x_T, hint, ctx_cond, ctx_uncond)
+
+    def _sample_impl(self, params, x_T, hint, ctx_cond, ctx_uncond):
         cfg = self.sampler
         ts, a_t, a_prev, sigma = ddim_schedule(
             cfg.steps, cfg.num_train_timesteps, eta=cfg.eta)
@@ -108,7 +119,7 @@ class ControlNetPipeline:
         def step(x, sched):
             t, at, ap, sg = sched
             t2 = jnp.full((2 * n,), t, jnp.int32)
-            eps2 = self._eps(jnp.concatenate([x, x]), hint2, t2, ctx2)
+            eps2 = self._eps(params, jnp.concatenate([x, x]), hint2, t2, ctx2)
             eps_c, eps_u = eps2[:n], eps2[n:]
             eps = eps_u + cfg.guidance_scale * (eps_c - eps_u)
             pred_x0 = (x - jnp.sqrt(1.0 - at) * eps) / jnp.sqrt(at)
@@ -120,11 +131,13 @@ class ControlNetPipeline:
         x, _ = jax.lax.scan(step, x_T, sched)
         return x
 
-    @functools.partial(jax.jit, static_argnums=0)
     def decode(self, z: jax.Array) -> jax.Array:
         """latents -> RGB float in [0, 255] (decode_first_stage then the
         *127.5+127.5 mapping of generate_multishift_image.py:136-138)."""
-        x = self.vae.apply({"params": self.params["vae"]}, z / self.sampler.scale_factor,
+        return self._decode_jit(self.params["vae"], z)
+
+    def _decode_impl(self, vae_params, z):
+        x = self.vae.apply({"params": vae_params}, z / self.sampler.scale_factor,
                            method=AutoencoderKL.decode)
         return jnp.clip(x * 127.5 + 127.5, 0.0, 255.0)
 

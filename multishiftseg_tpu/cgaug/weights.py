@@ -32,6 +32,19 @@ WEIGHT_URLS: Dict[str, tuple] = {
         "gdrive:1UVms08chnBkZta_cNumjiei6GByyM9VN",
         "bt-f-xl.pth",
     ),
+    # the RELEASED fine-tuned checkpoints behind the README benchmark table
+    # (README.md:140-146, Hugging Face mirrors of the gdrive links) — consumed
+    # by tools/validate_release.py for the ±0.5-pt accuracy-parity check
+    "deeplab_best": (
+        "https://huggingface.co/Cuttle-fish-my/MultiShiftSeg/resolve/main/"
+        "DeepLab_best.pth",
+        "DeepLab_best.pth",
+    ),
+    "m2f_best": (
+        "https://huggingface.co/Cuttle-fish-my/MultiShiftSeg/resolve/main/"
+        "M2F_best.pth",
+        "M2F_best.pth",
+    ),
     # Swin IN21k pretrains for the swin experiment configs
     "swin_large_22k": (
         "https://github.com/SwinTransformer/storage/releases/download/v1.0.0/"

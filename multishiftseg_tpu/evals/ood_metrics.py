@@ -18,6 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# numpy<2 / older jax name the trapezoidal rule `trapz`
+_np_trapezoid = getattr(np, "trapezoid", getattr(np, "trapz", None))
+_jnp_trapezoid = getattr(jnp, "trapezoid", getattr(jnp, "trapz", None))
+
 
 def _threshold_counts(y_true: np.ndarray, y_score: np.ndarray):
     """Cumulative tp/fp at each distinct descending score threshold."""
@@ -41,7 +45,7 @@ def auroc(y_true: np.ndarray, y_score: np.ndarray) -> float:
         return float("nan")
     tpr = tps / tps[-1]
     fpr = fps / fps[-1]
-    return float(np.trapezoid(tpr, fpr))
+    return float(_np_trapezoid(tpr, fpr))
 
 
 def average_precision(y_true: np.ndarray, y_score: np.ndarray) -> float:
@@ -158,16 +162,16 @@ def metrics_from_histograms(
     """(AUROC, AUPRC, FPR@recall) from descending-score-ordered count histograms.
 
     ``pos_hist[i]`` / ``neg_hist[i]`` count OOD / in-distribution pixels whose score
-    fell in bin i (bin 0 = lowest score). Shared by ``binned_ood_metrics`` and the
-    streaming ``BinnedOODMeter``.
+    fell in bin i (bin 0 = lowest score). Integer count histograms keep the
+    cumsums exact (int32 holds 2^31 total pixels; float32 stops counting at 2^24).
     """
-    tps = jnp.cumsum(pos_hist[::-1])
-    fps = jnp.cumsum(neg_hist[::-1])
+    tps = jnp.cumsum(pos_hist[::-1].astype(jnp.int32)).astype(jnp.float32)
+    fps = jnp.cumsum(neg_hist[::-1].astype(jnp.int32)).astype(jnp.float32)
     p_total = jnp.maximum(tps[-1], 1.0)
     n_total = jnp.maximum(fps[-1], 1.0)
     tpr = jnp.concatenate([jnp.zeros(1, tps.dtype), tps]) / p_total
     fpr = jnp.concatenate([jnp.zeros(1, fps.dtype), fps]) / n_total
-    auroc_v = jnp.trapezoid(tpr, fpr)
+    auroc_v = _jnp_trapezoid(tpr, fpr)
     precision = tps / jnp.maximum(tps + fps, 1.0)
     recall = tps / p_total
     recall_prev = jnp.concatenate([jnp.zeros(1, recall.dtype), recall[:-1]])
@@ -200,55 +204,83 @@ def _masked_min_max(scores, labels):
 
 
 class BinnedOODMeter:
-    """Streaming on-device (AUROC, AUPRC, FPR@95) over many variable-size score maps.
+    """Streaming (AUROC, AUPRC, FPR@95) over many variable-size score maps with
+    BOUNDED memory.
 
     Replaces the per-epoch host round-trip of full-resolution score maps through
     numpy/sklearn (the CPU hot spot of the reference's ``eval_ood_measure`` on
-    N x 2048 x 1024 pixels, ``lib/utils/metric.py:170-181``, SURVEY §3.1): ``update``
-    keeps scores/labels on device; ``compute`` does a two-pass (global range, then
-    histogram accumulation) entirely on device and transfers only 3 scalars.
+    N x 2048 x 1024 pixels, ``lib/utils/metric.py:170-181``, SURVEY §3.1):
+    ``update`` reduces each map ON DEVICE to a per-map int32 histogram over the
+    map's own score range and transfers only that (2 x num_bins ints + 2 range
+    scalars, ~64 KB) to host — full-resolution maps are never retained, so HBM
+    stays flat no matter how many images stream through. ``compute`` merges the
+    per-map histograms into the global range on host (each source bin's count
+    lands at its bin-center target bin) and finishes in float64.
 
-    Accuracy is O(score_range / num_bins) — use for in-training validation; keep
-    ``eval_ood_measure`` for final reported numbers.
+    Accuracy is O(score_range / num_bins) — the per-map range is a subset of the
+    global range, so rebinning adds at most half a source-bin width of error,
+    the same order. Use for in-training validation; keep ``eval_ood_measure``
+    for final reported numbers.
     """
 
     def __init__(self, num_bins: int = 8192, recall_level: float = 0.95):
         self.num_bins = num_bins
         self.recall_level = recall_level
-        self._scores: list = []
-        self._labels: list = []
+        self._hists: list = []  # (pos [B] i64, neg [B] i64, lo, hi) on host
 
     def update(self, scores: jax.Array, labels) -> None:
         """scores: [...] device array; labels: [...] int (1=OOD, 0=in, other=void)."""
-        self._scores.append(scores.reshape(-1))
-        self._labels.append(jnp.asarray(np.asarray(labels).reshape(-1), jnp.int32))
+        scores = jnp.asarray(scores).reshape(-1)
+        labels = jnp.asarray(np.asarray(labels).reshape(-1), jnp.int32)
+        lo, hi = _masked_min_max(scores, labels)
+        lo_f, hi_f = float(lo), float(hi)
+        if not (np.isfinite(lo_f) and np.isfinite(hi_f)):
+            return  # no valid pixels in this map
+        pos = jnp.zeros(self.num_bins, jnp.int32)
+        neg = jnp.zeros(self.num_bins, jnp.int32)
+        pos, neg = _hist_update(pos, neg, scores, labels, lo, hi, self.num_bins)
+        self._hists.append((np.asarray(pos, np.int64), np.asarray(neg, np.int64),
+                            lo_f, hi_f))
 
     def compute(self) -> Optional[Tuple[float, float, float]]:
-        if not self._scores:
+        if not self._hists:
             return None
-        lo = jnp.inf
-        hi = -jnp.inf
-        for s, l in zip(self._scores, self._labels):
-            lo_i, hi_i = _masked_min_max(s, l)
-            lo = jnp.minimum(lo, lo_i)
-            hi = jnp.maximum(hi, hi_i)
-        if not (np.isfinite(float(lo)) and np.isfinite(float(hi))):
+        lo = min(h[2] for h in self._hists)
+        hi = max(h[3] for h in self._hists)
+        span = max(hi - lo, 1e-12)
+        b = self.num_bins
+        pos_hist = np.zeros(b, np.int64)
+        neg_hist = np.zeros(b, np.int64)
+        for pos, neg, lo_i, hi_i in self._hists:
+            centers = lo_i + (np.arange(b) + 0.5) * max(hi_i - lo_i, 1e-12) / b
+            tgt = np.clip(((centers - lo) / span * b).astype(np.int64), 0, b - 1)
+            np.add.at(pos_hist, tgt, pos)
+            np.add.at(neg_hist, tgt, neg)
+        if pos_hist.sum() == 0 or neg_hist.sum() == 0:
             return None
-        pos_hist = jnp.zeros(self.num_bins, jnp.float32)
-        neg_hist = jnp.zeros(self.num_bins, jnp.float32)
-        for s, l in zip(self._scores, self._labels):
-            pos_hist, neg_hist = _hist_update(
-                pos_hist, neg_hist, s, l, lo, hi, self.num_bins
-            )
-        n_pos, n_neg = float(pos_hist.sum()), float(neg_hist.sum())
-        if n_pos == 0 or n_neg == 0:
-            return None
-        auroc_v, ap, fpr95 = metrics_from_histograms(
-            pos_hist, neg_hist, self.recall_level
-        )
-        self._scores.clear()
-        self._labels.clear()
-        return float(auroc_v), float(ap), float(fpr95)
+        self._hists.clear()
+        return _finish_histograms_np(pos_hist, neg_hist, self.recall_level)
+
+
+def _finish_histograms_np(
+    pos_hist: np.ndarray, neg_hist: np.ndarray, recall_level: float = 0.95
+) -> Tuple[float, float, float]:
+    """float64 host finish of :func:`metrics_from_histograms` (exact cumsums for
+    billions of pixels; the device variant serves the single-shot jit path)."""
+    tps = np.cumsum(pos_hist[::-1]).astype(np.float64)
+    fps = np.cumsum(neg_hist[::-1]).astype(np.float64)
+    p_total = max(tps[-1], 1.0)
+    n_total = max(fps[-1], 1.0)
+    tpr = np.concatenate([[0.0], tps]) / p_total
+    fpr = np.concatenate([[0.0], fps]) / n_total
+    auroc_v = _np_trapezoid(tpr, fpr)
+    precision = tps / np.maximum(tps + fps, 1.0)
+    recall = tps / p_total
+    recall_prev = np.concatenate([[0.0], recall[:-1]])
+    ap = np.sum((recall - recall_prev) * precision)
+    reach = recall >= recall_level
+    fpr95 = float(fps[np.argmax(reach)] / n_total) if reach.any() else 1.0
+    return float(auroc_v), float(ap), float(fpr95)
 
 
 def binned_ood_metrics(
@@ -276,7 +308,8 @@ def binned_ood_metrics(
     bins = jnp.clip(
         ((scores - lo_v) / span * num_bins).astype(jnp.int32), 0, num_bins - 1
     )
-    pos_hist = jnp.zeros(num_bins, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    # int32 counts: exact to 2^31 pixels/bin (f32 would silently saturate at 2^24)
+    pos_hist = jnp.zeros(num_bins, jnp.int32)
     neg_hist = jnp.zeros_like(pos_hist)
     pos_hist = pos_hist.at[bins].add(pos.astype(pos_hist.dtype))
     neg_hist = neg_hist.at[bins].add(neg.astype(neg_hist.dtype))

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..ops.resize import resize_bilinear
 from ..ops.sampling import point_sample
+from ..ops.scores import mask2former_semantic_logits
 from .matcher import match
 from .rcl import RCLParams, rel_contrastive_loss
 
@@ -231,7 +232,11 @@ def set_criterion(
         for i, aux in enumerate(outputs.get("aux_outputs", [])):
             aux_rng = jax.random.fold_in(rng, 100 + i)
             has_ood = "pred_logits_ood" in aux
-            aux_cfg = cfg if has_ood else dataclasses.replace(cfg, ood_loss="margin")
+            # aux outputs without OOD heads fall back to the margin OOD loss on
+            # the main heads — but NEVER resurrect an OOD loss the caller
+            # disabled (ood_loss='none' = vanilla non-anomaly training)
+            aux_cfg = cfg if has_ood or cfg.ood_loss == "none" else (
+                dataclasses.replace(cfg, ood_loss="margin"))
             t_i, l_i = _single_output_losses(
                 aux, sem_seg, aux_rng, aux_cfg,
                 rcl_params if has_ood or aux_cfg.ood_loss != "RCL" else None,
@@ -434,18 +439,14 @@ def _finish_ood_loss(
         return sum(losses.values()), losses
     ood_masks_ = (sem_seg > 100) & (sem_seg != 255)
     hw = sem_seg.shape[-2:]
-    sem_probs = jax.nn.softmax(pred_logits, axis=-1)[..., :-1]
-    mask_probs = jax.nn.sigmoid(pred_masks)
-    logits_px = jnp.einsum("bqk,bqhw->bhwk", sem_probs, mask_probs)
+    logits_px = mask2former_semantic_logits(pred_logits, pred_masks)
     logits_px = resize_bilinear(logits_px, hw, align_corners=False)
 
     if cfg.ood_loss == "RCL":
         assert rcl_params is not None
         ch, cw_ = crop_hw or hw
-        class_ood = outputs["pred_logits_ood"].astype(jnp.float32)
-        masks_ood = outputs["pred_masks_ood"].astype(jnp.float32)
-        probs_ood = jax.nn.softmax(class_ood, axis=-1)[..., :-1]
-        bal = jnp.einsum("bqk,bqhw->bhwk", probs_ood, jax.nn.sigmoid(masks_ood))
+        bal = mask2former_semantic_logits(
+            outputs["pred_logits_ood"], outputs["pred_masks_ood"])
         bal = resize_bilinear(bal, hw, align_corners=False)[:, :ch, :cw_]
         score = -jnp.max(bal, axis=-1)
         rcl_rng = jax.random.fold_in(rng, 7)

@@ -28,7 +28,9 @@ def dilated_conv3x3(x: jax.Array, kernel: jax.Array, rate: int) -> jax.Array:
     """
     n, h, w, cin = x.shape
     cout = kernel.shape[-1]
-    out = jnp.zeros((n, h, w, cout), x.dtype)
+    # fp32 accumulator: the conv this replaces rounds ONCE after a single fp32
+    # accumulation; summing nine bf16-rounded partials would drift several ulp
+    out = jnp.zeros((n, h, w, cout), jnp.float32)
     for ky in range(3):
         for kx in range(3):
             dy = (ky - 1) * rate
@@ -44,6 +46,7 @@ def dilated_conv3x3(x: jax.Array, kernel: jax.Array, rate: int) -> jax.Array:
                 "nhwc,cd->nhwd",
                 x[:, src_y0:src_y1, src_x0:src_x1],
                 kernel[ky, kx].astype(x.dtype),
+                preferred_element_type=jnp.float32,
             )
             out = out.at[:, dst_y0:dst_y1, dst_x0:dst_x1].add(piece)
-    return out
+    return out.astype(x.dtype)

@@ -152,9 +152,12 @@ def _core_forward(
     x = x96 * wv96 - 0.5  # [N, Lq, K]
     y = y96 * hv96 - 0.5
     # Clamped 2x2-window start: one gathered im2col row covers all 4 bilinear
-    # corners, quartering the index count.
-    sy = jnp.clip(jnp.floor(y), 0.0, hv96 - 2.0)
-    sx = jnp.clip(jnp.floor(x), 0.0, wv96 - 2.0)
+    # corners, quartering the index count. The upper clamp saturates at 0 for
+    # degenerate h==1/w==1 levels (a 32-px input dim) — h-2 = -1 would push the
+    # window into the PREVIOUS level's table rows; at start 0 the im2col table's
+    # zero-padded bottom/right entries reproduce grid_sample's zero padding.
+    sy = jnp.clip(jnp.floor(y), 0.0, jnp.maximum(hv96 - 2.0, 0.0))
+    sx = jnp.clip(jnp.floor(x), 0.0, jnp.maximum(wv96 - 2.0, 0.0))
     m96 = jnp.asarray(np.arange(K) // (L * P), jnp.int32)
     off96 = jnp.asarray(off_np[lane_l], jnp.int32)
     wi96 = jnp.asarray(hw[lane_l, 1], jnp.int32)
@@ -335,8 +338,9 @@ def _core_vjp_bwd(spatial_shapes, quantize_table, residuals, g):
     for lid, (h, w) in enumerate(spatial_shapes):
         x = loc_m[:, :, lid, :, 0] * w - 0.5
         y = loc_m[:, :, lid, :, 1] * h - 0.5
-        sy = jnp.clip(jnp.floor(y), 0, h - 2).astype(jnp.int32)
-        sx = jnp.clip(jnp.floor(x), 0, w - 2).astype(jnp.int32)
+        # max(0, ·): h==1/w==1 levels would clamp to -1 and corrupt the scatter
+        sy = jnp.clip(jnp.floor(y), 0, max(h - 2, 0)).astype(jnp.int32)
+        sx = jnp.clip(jnp.floor(x), 0, max(w - 2, 0)).astype(jnp.int32)
         vl = v[:, start : start + h * w].reshape(n * m, h, w, d)
         rows = _flat_row_gather(
             _im2col_table(vl), _window_index(sy, sx, h, w).reshape(-1)

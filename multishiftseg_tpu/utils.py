@@ -36,3 +36,14 @@ def download_checkpoint(url: str, dest: str) -> str:
         os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
         urllib.request.urlretrieve(url, dest)
     return dest
+
+
+def save_as_hdf5(data: np.ndarray, path: str, var_name: str = "value",
+                 compression: int = 9) -> None:
+    """Dump an array to HDF5 (reference ``utils.py:70-76``; unused by its entry
+    points but part of the public util surface)."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f.create_dataset(var_name, data=np.asarray(data), compression="gzip",
+                         compression_opts=compression)

@@ -263,3 +263,36 @@ def test_nearest_mode_deviation_gate(rng):
     dev = np.abs(approx - exact).max() / scale
     assert np.isfinite(approx).all()
     assert dev < 0.25, dev
+
+
+def test_degenerate_level_h1_matches_oracle(rng):
+    """A level collapsed to height/width 1 (any 32-px input dim at stride 32):
+    the window-start clamp must saturate at 0 (h-2 = -1 would address the
+    previous level's table rows) and the im2col zero padding must reproduce
+    grid_sample's zero padding — fwd AND grads vs the torch oracle."""
+    shapes = [(4, 4), (1, 2)]  # second level: h == 1
+    s = sum(h * w for h, w in shapes)
+    value = rng.randn(N, s, M, D).astype(np.float32)
+    loc = rng.rand(N, LQ, M, len(shapes), P, 2).astype(np.float32) * 1.2 - 0.1
+    attn = rng.rand(N, LQ, M, len(shapes), P).astype(np.float32)
+    attn /= attn.reshape(N, LQ, M, -1).sum(-1).reshape(N, LQ, M, 1, 1)
+
+    ours = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn)))
+    ref = torch_oracle(torch.from_numpy(value), shapes,
+                       torch.from_numpy(loc), torch.from_numpy(attn)).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    g = rng.randn(N, LQ, M * D).astype(np.float32)
+
+    def f(v, a):
+        return jnp.vdot(ms_deform_attn_core(v, shapes, jnp.asarray(loc), a),
+                        jnp.asarray(g))
+
+    gv, ga = jax.grad(f, argnums=(0, 1))(jnp.asarray(value), jnp.asarray(attn))
+    tv = torch.from_numpy(value).requires_grad_(True)
+    ta = torch.from_numpy(attn).requires_grad_(True)
+    out = torch_oracle(tv, shapes, torch.from_numpy(loc), ta)
+    (out * torch.from_numpy(g)).sum().backward()
+    np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga), ta.grad.numpy(), rtol=1e-4, atol=1e-5)

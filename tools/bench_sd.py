@@ -13,6 +13,7 @@ Usage: python tools/bench_sd.py [--steps 50] [--res 512]
 """
 
 import argparse
+import functools
 import sys
 import time
 from pathlib import Path
@@ -69,7 +70,9 @@ def main():
     hint2 = jnp.concatenate([hint, hint])
     ctx2 = jnp.concatenate([ctx, ctx])
     t2 = jnp.zeros((2,), jnp.int32)
-    step = jax.jit(lambda x, h, t, c: pipe._eps(x, h, t, c))
+    params = {"unet": up, "control": cp}
+    step = jax.jit(lambda p, x, h, t, c: pipe._eps(p, x, h, t, c))
+    step = functools.partial(step, params)
     step(x2, hint2, t2, ctx2).block_until_ready()
     t0 = time.time()
     for _ in range(10):
