@@ -326,8 +326,11 @@ def load_torch_checkpoint(path: str):
     state = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(state, dict) and "state_dict" in state:
         state = state["state_dict"]
-    if isinstance(state, dict) and "model" in state and not any(
-        k.startswith(("mod", "backbone", "sem_seg_head")) for k in state
+    if isinstance(state, dict) and isinstance(state.get("model"), dict) and not any(
+        # unwrap d2-style {"model": sd, "iteration": ...} wrappers; the key
+        # "model" itself must not veto the check (it startswith "mod")
+        k != "model" and k.startswith(("mod", "backbone", "sem_seg_head"))
+        for k in state
     ):
         state = state["model"]
     return state

@@ -130,13 +130,36 @@ def initialize_distributed(
     out host-major, so per-step gradient all-reduce crosses DCN once while
     within-host reduction rides ICI. Safe to call on a single process (no-op).
     """
-    if jax.process_count() > 1 or coordinator_address is None and num_processes is None:
-        return  # already initialized, or single-process run
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    if jax.process_count() > 1:
+        return  # already initialized
+    explicit = coordinator_address is not None or num_processes is not None
+    # a pod/cluster launch is detectable from the environment even with no
+    # explicit args — jax.distributed.initialize() then auto-configures; with
+    # neither args nor any of these markers, this is a plain single-process
+    # run and initialize() would fail, so no-op. TPU_WORKER_HOSTNAMES counts
+    # only with MULTIPLE workers (single-host tunnels set it to 'localhost').
+    pod_env = any(os.environ.get(k) for k in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+    )) or "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if not (explicit or pod_env):
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if explicit:
+            raise
+        # auto-detection misfired (e.g. backend already up on a dev machine
+        # whose env mimics a pod) — continue single-process rather than die
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "jax.distributed.initialize auto-detect failed (%s); "
+            "continuing single-process", e)
 
 
 def make_global_mesh(model_parallel: int = 1) -> Mesh:

@@ -161,6 +161,12 @@ class ACDC_POC(_EvalDataset):
             )
 
     def __getitem__(self, i):
+        # the acdc_ood layout pairs one same-named gt png per image; the
+        # reference asserts this per item (anomaly.py:363) — keep the loud
+        # failure rather than silently misaligning on a stock ACDC tree
+        # (whose gt dirs hold several pngs per frame)
+        assert os.path.basename(self.images[i]) == os.path.basename(self.targets[i]), (
+            self.images[i], self.targets[i])
         image = _rgb(decode(self.images[i]))
         target = _gray(decode(self.targets[i])).astype(np.int32)
         image, target = self._apply(image, target)

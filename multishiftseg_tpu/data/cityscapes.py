@@ -104,6 +104,11 @@ class DiverseCityscapes:
         self.anomaly_mix = anomaly_mix
         self.mixup = mixup
         self.ood_scale_array = list(ood_scale_array)
+        self.seed = seed
+        self._epoch = 0
+        # __init__-time rng (single-threaded pairing picks); __getitem__ derives
+        # a per-(epoch, index) generator instead — the loader fetches samples
+        # from a thread pool and numpy Generators are not thread-safe
         self.rng = np.random.default_rng(seed)
         gtmode = "gtFine" if "fine" in mode.lower() else "gtCoarse"
 
@@ -157,7 +162,14 @@ class DiverseCityscapes:
     def __len__(self) -> int:
         return len(self.images)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the per-item augmentation stream (fresh draws each epoch)."""
+        self._epoch = epoch
+
     def __getitem__(self, index: int) -> Tuple[np.ndarray, ...]:
+        # thread-safe, reproducible: one Generator per (seed, epoch, index)
+        rng = np.random.default_rng(
+            (self.seed * 100003 + self._epoch) * 1000003 + index)
         image, gen_image, target, gen_target = decode_batch([
             self.images[index], self.generated_images[index],
             self.targets[index], self.generated_targets[index],
@@ -166,16 +178,16 @@ class DiverseCityscapes:
         gen_target = gen_target.astype(np.uint8)
 
         if self.mixup:
-            gen_image = mixup_generated(image, gen_image, self.rng)
+            gen_image = mixup_generated(image, gen_image, rng)
 
         s = Sample(image, target.astype(np.int32), gen_image, gen_target.astype(np.int32))
         if self.transform is not None:
-            s = self.transform(self.rng, s)
+            s = self.transform(rng, s)
 
         if self.anomaly_mix and self.coco_images:
             s.image, s.mask = paste_coco_objects(
                 s.image, s.mask, self.coco_images, self.coco_targets,
-                self.ood_scale_array, self.rng,
+                self.ood_scale_array, rng,
             )
 
         return s.image, s.mask, s.gen_image, s.gen_mask

@@ -88,6 +88,18 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # bounded put that honours `stop`: an abandoned iterator (consumer
+            # broke early) must not leave this thread parked in q.put forever
+            # pinning prefetched device batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for batch_idx in batches:
@@ -97,8 +109,9 @@ class Loader:
                     batch = _stack(samples)
                     if self.device_put is not None:
                         batch = self.device_put(batch)
-                    q.put(batch)
-            q.put(None)
+                    if not put_or_stop(batch):
+                        return
+            put_or_stop(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

@@ -142,8 +142,12 @@ def register_instance_folder(
     (``class_id * divisor + instance`` encoding)."""
     DatasetCatalog.register(
         name,
+        # the **r unpack evaluates BEFORE pop would run, so build the record
+        # without the semantic key (a stale sem_seg_file_name aimed at the
+        # instance-id png would make semantic consumers read id*1000 encodings)
         lambda: [
-            {**r, "instance_file_name": r.pop("sem_seg_file_name")}
+            {**{k: v for k, v in r.items() if k != "sem_seg_file_name"},
+             "instance_file_name": r["sem_seg_file_name"]}
             for r in _pair_records(image_dir, instance_dir, image_suffix,
                                    instance_suffix)
         ],

@@ -33,8 +33,11 @@ class DeepV3Plus(nn.Module):
         x = x.astype(self.dtype or x.dtype)
 
         if self.trunk.startswith("resnet"):
+            # the closed-set baselines TRAIN their trunk BN (reference trains
+            # DeepV3Plus with (Sync)BN); frozen stats are the M2F-backbone regime
             feats = ResNet(depth=int(self.trunk.split("-")[1]), output_stride=8,
-                           dtype=self.dtype, name="trunk")(x)
+                           trainable_bn=True, dtype=self.dtype,
+                           name="trunk")(x, train=train)
             low = feats["res2"]  # stride 4 (m1 skip)
             top = feats["res5"]  # stride 8 (D variant)
         else:

@@ -21,14 +21,21 @@ from .layers import Conv
 
 
 class FrozenBN(nn.Module):
-    """BatchNorm that only ever applies running statistics (frozen backbone)."""
+    """Backbone BatchNorm. Frozen by default (running statistics only —
+    detectron2's FrozenBatchNorm under the M2F FREEZE_AT regime); with
+    ``trainable=True`` and ``train=True`` it behaves as normal training-mode
+    BatchNorm (the reference's DeepV3Plus closed-set baselines train their
+    trunk BN, ``deepv3.py:95-201``). The parameter/collection layout is
+    identical either way, so converters are unaffected."""
 
     dtype: Optional[jnp.dtype] = None
+    trainable: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         return nn.BatchNorm(
-            use_running_average=True, momentum=0.9, epsilon=1e-5,
+            use_running_average=not (self.trainable and train),
+            momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="bn",
         )(x)
 
@@ -39,22 +46,23 @@ class BottleneckBlock(nn.Module):
     stride: int = 1
     dilation: int = 1
     dtype: Optional[jnp.dtype] = None
+    trainable_bn: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         need_proj = x.shape[-1] != self.out_channels or self.stride != 1
         shortcut = x
         if need_proj:
             shortcut = Conv(self.out_channels, (1, 1), strides=(self.stride,) * 2,
                             dtype=self.dtype, name="shortcut")(x)
-            shortcut = FrozenBN(dtype=self.dtype, name="shortcut_norm")(shortcut)
+            shortcut = FrozenBN(dtype=self.dtype, trainable=self.trainable_bn, name="shortcut_norm")(shortcut, train)
         out = Conv(self.bottleneck_channels, (1, 1), dtype=self.dtype, name="conv1")(x)
-        out = nn.relu(FrozenBN(dtype=self.dtype, name="norm1")(out))
+        out = nn.relu(FrozenBN(dtype=self.dtype, trainable=self.trainable_bn, name="norm1")(out, train))
         out = Conv(self.bottleneck_channels, (3, 3), strides=(self.stride,) * 2,
                    dilation=(self.dilation,) * 2, dtype=self.dtype, name="conv2")(out)
-        out = nn.relu(FrozenBN(dtype=self.dtype, name="norm2")(out))
+        out = nn.relu(FrozenBN(dtype=self.dtype, trainable=self.trainable_bn, name="norm2")(out, train))
         out = Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv3")(out)
-        out = FrozenBN(dtype=self.dtype, name="norm3")(out)
+        out = FrozenBN(dtype=self.dtype, trainable=self.trainable_bn, name="norm3")(out, train)
         return nn.relu(out + shortcut)
 
 
@@ -65,21 +73,22 @@ class BasicBlock(nn.Module):
     stride: int = 1
     dilation: int = 1
     dtype: Optional[jnp.dtype] = None
+    trainable_bn: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         need_proj = x.shape[-1] != self.out_channels or self.stride != 1
         shortcut = x
         if need_proj:
             shortcut = Conv(self.out_channels, (1, 1), strides=(self.stride,) * 2,
                             dtype=self.dtype, name="shortcut")(x)
-            shortcut = FrozenBN(dtype=self.dtype, name="shortcut_norm")(shortcut)
+            shortcut = FrozenBN(dtype=self.dtype, trainable=self.trainable_bn, name="shortcut_norm")(shortcut, train)
         out = Conv(self.out_channels, (3, 3), strides=(self.stride,) * 2,
                    dilation=(self.dilation,) * 2, dtype=self.dtype, name="conv1")(x)
-        out = nn.relu(FrozenBN(dtype=self.dtype, name="norm1")(out))
+        out = nn.relu(FrozenBN(dtype=self.dtype, trainable=self.trainable_bn, name="norm1")(out, train))
         out = Conv(self.out_channels, (3, 3), dilation=(self.dilation,) * 2,
                    dtype=self.dtype, name="conv2")(out)
-        out = FrozenBN(dtype=self.dtype, name="norm2")(out)
+        out = FrozenBN(dtype=self.dtype, trainable=self.trainable_bn, name="norm2")(out, train)
         return nn.relu(out + shortcut)
 
 
@@ -104,13 +113,16 @@ class ResNet(nn.Module):
     depth: int = 50
     output_stride: int = 32
     dtype: Optional[jnp.dtype] = None
+    # True = train-mode BatchNorm in the trunk (DeepV3Plus baselines);
+    # False = frozen running stats (the M2F backbone regime)
+    trainable_bn: bool = False
 
     @nn.compact
-    def __call__(self, x) -> Dict[str, jax.Array]:
+    def __call__(self, x, train: bool = False) -> Dict[str, jax.Array]:
         x = x.astype(self.dtype or x.dtype)
         x = Conv(64, (7, 7), strides=(2, 2), padding=3, dtype=self.dtype,
                  name="stem_conv1")(x)
-        x = nn.relu(FrozenBN(dtype=self.dtype, name="stem_norm1")(x))
+        x = nn.relu(FrozenBN(dtype=self.dtype, trainable=self.trainable_bn, name="stem_norm1")(x, train))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         feats = {}
@@ -130,8 +142,9 @@ class ResNet(nn.Module):
                     x = BasicBlock(
                         out_channels=out_channels, stride=block_stride,
                         dilation=dilation, dtype=self.dtype,
+                        trainable_bn=self.trainable_bn,
                         name=f"res{stage_idx + 2}_{block_idx}",
-                    )(x)
+                    )(x, train)
                 else:
                     x = BottleneckBlock(
                         bottleneck_channels=bottleneck,
@@ -139,8 +152,9 @@ class ResNet(nn.Module):
                         stride=block_stride,
                         dilation=dilation,
                         dtype=self.dtype,
+                        trainable_bn=self.trainable_bn,
                         name=f"res{stage_idx + 2}_{block_idx}",
-                    )(x)
+                    )(x, train)
             feats[f"res{stage_idx + 2}"] = x
             bottleneck *= 2
             out_channels *= 2

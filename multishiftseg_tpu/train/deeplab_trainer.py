@@ -224,6 +224,7 @@ class TrainDeepLabOOD:
 
             t0 = time.time()
             n_img = 0
+            train_ds.set_epoch(epoch)
             for img, target, gen_img, gen_target in loader:
                 if paired:
                     # multi-host: each half is assembled into a GLOBAL batch-

@@ -306,6 +306,7 @@ class TrainM2FOOD:
                 log.warning("switched to stage-2 official loss + AdamW groups")
 
             t0, n_img = time.time(), 0
+            train_ds.set_epoch(epoch)
             for img, target, gen_img, gen_target in loader:
                 ic, tc, _ = self._pad_batch(img, target.astype(np.int32))
                 ig, tg, _ = self._pad_batch(gen_img, gen_target.astype(np.int32))

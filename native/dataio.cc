@@ -50,6 +50,9 @@ static int decode_jpeg(FILE* f, MssImage* out) {
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_err_exit;
   if (setjmp(jerr.jb)) {
+    // a corrupt stream can error AFTER the output buffer was allocated
+    free(out->data);
+    out->data = nullptr;
     jpeg_destroy_decompress(&cinfo);
     return -1;
   }
@@ -90,6 +93,8 @@ static int decode_png(FILE* f, MssImage* out) {
     return -1;
   }
   if (setjmp(png_jmpbuf(png))) {
+    free(out->data);
+    out->data = nullptr;
     png_destroy_read_struct(&png, &info, nullptr);
     return -1;
   }
@@ -102,10 +107,16 @@ static int decode_png(FILE* f, MssImage* out) {
   int depth = png_get_bit_depth(png, info);
 
   if (depth == 16) png_set_strip_16(png);
-  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
-  if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
-  if (color & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  if (color == PNG_COLOR_TYPE_PALETTE) {
+    // Return palette INDICES, one channel — matching np.asarray(PIL mode "P")
+    // in the Python fallback: paletted pngs are a common label-map encoding
+    // where the index IS the class id; expanding to RGB destroys that.
+    if (depth < 8) png_set_packing(png);
+  } else {
+    if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+    if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+    if (color & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  }
   png_read_update_info(png, info);
 
   int channels = png_get_channels(png, info);
@@ -194,8 +205,19 @@ int mss_decode_batch(const char** paths, int n, uint8_t** datas, int* hs, int* w
     });
   }
   for (auto& t : threads) t.join();
+  int bad = 0;
   for (int i = 0; i < n; ++i)
-    if (rcs[i] != 0) return -(i + 1);
+    if (rcs[i] != 0 && bad == 0) bad = -(i + 1);
+  if (bad) {
+    // free every successful decode before reporting failure: the caller falls
+    // back to PIL for the whole batch and never sees these pointers
+    for (int i = 0; i < n; ++i)
+      if (rcs[i] == 0 && datas[i]) {
+        free(datas[i]);
+        datas[i] = nullptr;
+      }
+    return bad;
+  }
   return 0;
 }
 

@@ -139,3 +139,21 @@ def test_maskformer_unknown_predictor_raises(rng):
     with _pytest.raises(ValueError, match="unknown predictor"):
         model.init({"params": jax.random.PRNGKey(0)},
                    jnp.zeros((1, 64, 64, 3)), train=False)
+
+
+def test_deepv3_generic_resnet_bn_trains(rng):
+    """The closed-set DeepV3Plus baselines must TRAIN their ResNet trunk BN
+    (the reference trains it; frozen-at-init stats are the M2F-backbone
+    regime only): train=True updates the trunk's batch_stats."""
+    from multishiftseg_tpu.models.deepv3_generic import DeepR50V3PlusD_m1
+
+    model = DeepR50V3PlusD_m1(num_classes=5)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3), jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out, updates = model.apply(v, x, train=True, mutable=["batch_stats"])
+    before = v["batch_stats"]["trunk"]["stem_norm1"]["bn"]["mean"]
+    after = updates["batch_stats"]["trunk"]["stem_norm1"]["bn"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+    # eval path still uses running stats (no mutation requested)
+    out2 = model.apply(v, x, train=False)
+    assert np.isfinite(np.asarray(out2)).all()

@@ -75,3 +75,33 @@ def test_normalize_crop_matches_numpy(lib, rng):
     out = native_io.normalize_crop(img, 5, 7, 20, 30, mean, std)
     ref = (img[5:25, 7:37].astype(np.float32) / 255.0 - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_palette_png_returns_indices_like_pil(lib, rng, tmp_path):
+    """Paletted pngs are a common label encoding (index == class id): the
+    native decoder must return INDICES like np.asarray(PIL mode 'P'), not the
+    palette-expanded RGB (which would put luminance garbage through _gray)."""
+    idx = (np.arange(48, dtype=np.uint8).reshape(6, 8)) % 7
+    im = Image.fromarray(idx, mode="P")
+    im.putpalette([int(v) for v in rng.randint(0, 255, 768)])
+    p = tmp_path / "pal.png"
+    im.save(p)
+    out = native_io.decode(str(p))
+    np.testing.assert_array_equal(out, np.asarray(Image.open(p)))
+
+
+def test_decode_batch_corrupt_file_falls_back(lib, rng, tmp_path):
+    """A corrupt member fails the native batch; the loader falls back to PIL
+    per file (the C side frees the successful buffers before returning)."""
+    img = _rand_img(rng, 12, 12)
+    good = tmp_path / "good.png"
+    Image.fromarray(img).save(good)
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"\xff\xd8\xff\xe0garbage")
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):  # PIL also rejects the garbage -> loud error
+        native_io.decode_batch([str(good), str(bad)])
+    # an all-good batch after the failure still works (no corrupted state)
+    outs = native_io.decode_batch([str(good), str(good)])
+    np.testing.assert_array_equal(outs[0], img)
