@@ -52,10 +52,21 @@ class ADE20KAnomalySource:
             self.index = pickle.load(f)
         self.size = len(self.index["filename"])
 
-        self.class_mapping: Dict[int, int] = {}
-        if class_mapping_path and os.path.exists(class_mapping_path):
-            with open(class_mapping_path, "rb") as f:
-                self.class_mapping = pickle.load(f)
+        # the fine->150 class mapping is REQUIRED (the reference hard-opens
+        # CGAug/static_data/ADE_class_mapping.pkl, generation_utils.py:45-46);
+        # without it every fine id would map to -1 and sample() could never
+        # find an object — fail loudly at construction, not per-frame
+        if class_mapping_path is None:
+            class_mapping_path = os.path.join(
+                ade_root, "ADE_class_mapping.pkl")
+        if not os.path.exists(class_mapping_path):
+            raise FileNotFoundError(
+                f"ADE fine->semantic class mapping not found at "
+                f"{class_mapping_path} (the reference ships it as "
+                f"CGAug/static_data/ADE_class_mapping.pkl — copy it next to "
+                f"the ADE root or pass class_mapping_path)")
+        with open(class_mapping_path, "rb") as f:
+            self.class_mapping: Dict[int, int] = pickle.load(f)
 
         if ood_class_idx_path and os.path.exists(ood_class_idx_path):
             with open(ood_class_idx_path, "rb") as f:

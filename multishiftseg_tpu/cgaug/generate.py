@@ -157,10 +157,12 @@ class MultiShiftGenerator:
             image, anomaly_mask, ood_name, domain = result
             tid = np.asarray(Image.open(tid_path)).copy()
             tid[anomaly_mask == 1] = self.cfg.ood_label_id
-            Image.fromarray(image).save(out_img)
+            # label FIRST: resume-by-existence keys on the image, so a crash
+            # between the two writes must never leave an image without its label
             Image.fromarray(tid).save(
                 os.path.join(out_label_dir, f"{stem}_gtFine_labelTrainIds.png")
             )
+            Image.fromarray(image).save(out_img)
             log.info("%s: generated (%s%s)", stem, ood_name, domain)
 
 

@@ -104,11 +104,17 @@ class ControlNetPipeline:
                                x, t, context, control=ctrl)
 
     def sample(self, x_T: jax.Array, hint: jax.Array, ctx_cond: jax.Array,
-               ctx_uncond: jax.Array) -> jax.Array:
-        """DDIM sampling of latents [N, h, w, 4]; hint [N, H, W, 3] in [0,1]."""
-        return self._sample_jit(self.params, x_T, hint, ctx_cond, ctx_uncond)
+               ctx_uncond: jax.Array,
+               key: Optional[jax.Array] = None) -> jax.Array:
+        """DDIM sampling of latents [N, h, w, 4]; hint [N, H, W, 3] in [0,1].
 
-    def _sample_impl(self, params, x_T, hint, ctx_cond, ctx_uncond):
+        ``key`` drives the stochastic ``sigma_t * noise`` term and matters only
+        for ``eta > 0`` (the reference default eta=0 is deterministic)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return self._sample_jit(self.params, x_T, hint, ctx_cond, ctx_uncond, key)
+
+    def _sample_impl(self, params, x_T, hint, ctx_cond, ctx_uncond, key):
         cfg = self.sampler
         ts, a_t, a_prev, sigma = ddim_schedule(
             cfg.steps, cfg.num_train_timesteps, eta=cfg.eta)
@@ -116,7 +122,8 @@ class ControlNetPipeline:
         hint2 = jnp.concatenate([hint, hint])
         ctx2 = jnp.concatenate([ctx_cond, ctx_uncond])
 
-        def step(x, sched):
+        def step(carry, sched):
+            x, k = carry
             t, at, ap, sg = sched
             t2 = jnp.full((2 * n,), t, jnp.int32)
             eps2 = self._eps(params, jnp.concatenate([x, x]), hint2, t2, ctx2)
@@ -124,11 +131,15 @@ class ControlNetPipeline:
             eps = eps_u + cfg.guidance_scale * (eps_c - eps_u)
             pred_x0 = (x - jnp.sqrt(1.0 - at) * eps) / jnp.sqrt(at)
             dir_xt = jnp.sqrt(1.0 - ap - sg ** 2) * eps
-            return jnp.sqrt(ap) * pred_x0 + dir_xt, None
+            # p_sample_ddim's sigma_t * noise term (ddim_hacked.py:226-229);
+            # zero for eta=0, so the deterministic path is unchanged
+            k, kn = jax.random.split(k)
+            noise = sg * jax.random.normal(kn, x.shape, x.dtype)
+            return (jnp.sqrt(ap) * pred_x0 + dir_xt + noise, k), None
 
         sched = (jnp.asarray(ts)[::-1], jnp.asarray(a_t)[::-1],
                  jnp.asarray(a_prev)[::-1], jnp.asarray(sigma)[::-1])
-        x, _ = jax.lax.scan(step, x_T, sched)
+        (x, _), _ = jax.lax.scan(step, (x_T, key), sched)
         return x
 
     def decode(self, z: jax.Array) -> jax.Array:

@@ -16,7 +16,7 @@ Inputs are per-image dicts with dense binary masks (the output format of
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -25,12 +25,16 @@ RECALL_POINTS = np.linspace(0.0, 1.0, 101)
 
 
 def mask_iou_matrix(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
-    """[Np, H, W] x [Ng, H, W] binary masks -> [Np, Ng] IoU."""
-    p = pred.reshape(pred.shape[0], -1).astype(np.float64)
-    g = gt.reshape(gt.shape[0], -1).astype(np.float64)
+    """[Np, H, W] x [Ng, H, W] binary masks -> [Np, Ng] IoU.
+
+    float32 operands: pixel counts stay < 2^24 for any mask up to 16.7M pixels,
+    so the matmul is exact while using half the memory of float64 (at 2048x1024
+    with 100 detections the f64 operand alone was 1.7 GB)."""
+    p = pred.reshape(pred.shape[0], -1).astype(np.float32)
+    g = gt.reshape(gt.shape[0], -1).astype(np.float32)
     inter = p @ g.T
     union = p.sum(1)[:, None] + g.sum(1)[None, :] - inter
-    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0).astype(np.float64)
 
 
 def _ap_from_matches(matched: np.ndarray, n_gt: int) -> float:
@@ -66,20 +70,33 @@ def instance_ap(
     Returns {"AP", "AP50", "AP75", "AP_per_class" (list, NaN when no GT)}.
     """
     assert len(predictions) == len(ground_truths)
-    # Per-image top-max_dets by score, and per-image IoU matrices computed once.
-    per_image = []
-    for pred, gt in zip(predictions, ground_truths):
-        scores = np.asarray(pred.get("scores", np.zeros(0)))
-        order = np.argsort(-scores, kind="mergesort")[:max_dets]
-        pm = np.asarray(pred["masks"])[order] if scores.size else np.zeros((0, 1, 1))
-        pc = np.asarray(pred["classes"])[order] if scores.size else np.zeros(0, int)
-        gm = np.asarray(gt["masks"])
-        gc = np.asarray(gt["classes"])
-        iou = mask_iou_matrix(pm, gm) if pm.shape[0] and gm.shape[0] else np.zeros(
-            (pm.shape[0], gm.shape[0])
-        )
-        per_image.append((scores[order] if scores.size else scores, pc, gc, iou))
+    per_image = [reduce_image(p, g, max_dets)
+                 for p, g in zip(predictions, ground_truths)]
+    return instance_ap_reduced(per_image, num_classes, iou_thresholds)
 
+
+def reduce_image(pred: Dict, gt: Dict, max_dets: int = 100) -> Tuple:
+    """Per-image reduction to ``(scores, pred_classes, gt_classes, iou)`` —
+    everything AP needs; the dense masks can be dropped immediately after
+    (the streaming evaluator's memory bound)."""
+    scores = np.asarray(pred.get("scores", np.zeros(0)))
+    order = np.argsort(-scores, kind="mergesort")[:max_dets]
+    pm = np.asarray(pred["masks"])[order] if scores.size else np.zeros((0, 1, 1))
+    pc = np.asarray(pred["classes"])[order] if scores.size else np.zeros(0, int)
+    gm = np.asarray(gt["masks"])
+    gc = np.asarray(gt["classes"])
+    iou = mask_iou_matrix(pm, gm) if pm.shape[0] and gm.shape[0] else np.zeros(
+        (pm.shape[0], gm.shape[0])
+    )
+    return (scores[order] if scores.size else scores, pc, gc, iou)
+
+
+def instance_ap_reduced(
+    per_image: Sequence[Tuple],
+    num_classes: int,
+    iou_thresholds: np.ndarray = IOU_THRESHOLDS,
+) -> Dict[str, float]:
+    """COCO mask AP from per-image :func:`reduce_image` tuples."""
     ap_ct = np.full((len(iou_thresholds), num_classes), np.nan)
     for c in range(num_classes):
         n_gt = sum(int((gc == c).sum()) for _, _, gc, _ in per_image)
@@ -132,16 +149,15 @@ class InstanceSegEvaluator:
         self.reset()
 
     def reset(self):
-        self._preds: List[Dict] = []
-        self._gts: List[Dict] = []
+        self._per_image: List[Tuple] = []
 
     def process(self, prediction: Dict, ground_truth: Dict):
-        self._preds.append(prediction)
-        self._gts.append(ground_truth)
+        # reduce to (scores, classes, gt_classes, iou) NOW so the dense masks
+        # (several MB per image at benchmark resolution) are never retained
+        self._per_image.append(
+            reduce_image(prediction, ground_truth, self.max_dets))
 
     def evaluate(self) -> Optional[Dict[str, float]]:
-        if not self._preds:
+        if not self._per_image:
             return None
-        return instance_ap(
-            self._preds, self._gts, self.num_classes, max_dets=self.max_dets
-        )
+        return instance_ap_reduced(self._per_image, self.num_classes)

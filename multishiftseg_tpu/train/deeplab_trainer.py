@@ -25,8 +25,7 @@ import numpy as np
 
 from ..core.config import Config
 from ..core.mesh import (
-    DATA_AXIS, data_sharded, fit_mesh_to_batch, make_mesh, make_train_mesh,
-    replicated, shard_batch, shard_global_batch,
+    make_train_mesh, replicated, shard_batch, shard_global_batch,
 )
 from ..data.anomaly import RoadAnomaly21
 from ..data.cityscapes import DiverseCityscapes
@@ -185,15 +184,16 @@ class TrainDeepLabOOD:
         )
 
         if resume and self.ckpt.exists(resume):
-            restored = self.ckpt.restore(resume, {
-                "params": self.variables["params"],
-                "batch_stats": self.variables.get("batch_stats"),
-                "epoch": 0,
-            })
+            restored = self.ckpt.restore(resume)
             self.variables = {"params": restored["params"],
                               "batch_stats": restored["batch_stats"]}
             start_epoch = int(restored["epoch"]) + 1
-            log.warning("resumed %s at epoch %d", resume, start_epoch)
+            # restore the historical best so a worse post-resume epoch cannot
+            # overwrite the AUPRC_best checkpoint (absent in old checkpoints)
+            if "best_auprc" in restored:
+                self.best["AUPRC"] = float(restored["best_auprc"])
+            log.warning("resumed %s at epoch %d (best AUPRC %.4f)", resume,
+                        start_epoch, self.best["AUPRC"])
 
         tx, opt_state = self._stage_optimizer(0)
         state = TrainState(
@@ -242,6 +242,10 @@ class TrainDeepLabOOD:
                     )
                 state, loss, aux = train_step(state, *b)
                 n_img += img.shape[0] * 2
+            if n_img == 0:
+                raise RuntimeError(
+                    f"loader produced no batches (dataset size {len(train_ds)} "
+                    f"< global batch with drop_last)")
             dt = time.time() - t0
             log.warning(
                 "epoch %d loss %.4f (%.1f img/s)", epoch, float(loss),
@@ -250,13 +254,17 @@ class TrainDeepLabOOD:
 
             metrics = self.valid(state, val_ds)
             log.warning("epoch %d %s", epoch, metrics)
-            if (metrics and metrics["AUPRC"] > self.best["AUPRC"]
-                    and jax.process_index() == 0):
+            if metrics and metrics["AUPRC"] > self.best["AUPRC"]:
                 self.best["AUPRC"] = metrics["AUPRC"]
+                # orbax save is a COLLECTIVE under multi-host (sync barrier in
+                # Checkpointer.save): every process must call it — a process-0
+                # gate deadlocks the pod. Metrics are identical across hosts
+                # (same val set, deterministic meter), so all hosts agree.
                 self.ckpt.save(
                     "AUPRC_best",
                     params=state.params, batch_stats=state.batch_stats,
                     opt_state=state.opt_state, epoch=epoch,
+                    best_auprc=self.best["AUPRC"],
                 )
                 log.warning("saved best model for AUPRC (%.4f)", metrics["AUPRC"])
 

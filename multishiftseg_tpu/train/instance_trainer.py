@@ -234,8 +234,10 @@ class TrainM2FInstance:
             rng, step_rng, drop_rng = jax.random.split(state.rng, 3)
 
             def loss_fn(params):
+                from .m2f_trainer import _vars
+
                 outputs = model.apply(
-                    {"params": params, "batch_stats": state.batch_stats}, img,
+                    _vars(params, state.batch_stats), img,
                     train=True, rngs={"dropout": drop_rng},
                 )
                 return set_criterion_instance(
@@ -295,6 +297,10 @@ class TrainM2FInstance:
                 b = shard_batch((img, id_map, classes), self.mesh)
                 state, loss, losses = step_fn(state, *b)
                 n_img += img.shape[0]
+            if n_img == 0:
+                raise RuntimeError(
+                    f"loader produced no batches (dataset size {len(ds)} < "
+                    f"batch {cfg.train.train_batch} with drop_last)")
             last_loss = float(loss)
             log.warning("epoch %d loss %.4f (%.1f img/s)", epoch, last_loss,
                         n_img / max(time.time() - t0, 1e-9))

@@ -26,8 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import Config
-from ..core.mesh import (data_sharded, fit_mesh_to_batch, make_mesh,
-                         make_train_mesh, replicated, shard_batch,
+from ..core.mesh import (make_train_mesh, replicated, shard_batch,
                          shard_global_batch)
 from ..data.anomaly import RoadAnomaly21
 from ..data.cityscapes import DiverseCityscapes
@@ -46,13 +45,25 @@ from .state import TrainState, build_m2f_official_optimizer, build_stage_optimiz
 log = logging.getLogger(__name__)
 
 
+def _vars(params, batch_stats):
+    """Apply-collections dict tolerating batch_stats=None (Swin backbones have
+    no BatchNorm; flax rejects a None collection)."""
+    v = {"params": params}
+    if batch_stats is not None:
+        v["batch_stats"] = batch_stats
+    return v
+
+
 def copy_class_embed_to_ood(params):
-    """class_embed2 <- class_embed (reference ``train_m2f.py:125-132``)."""
+    """class_embed2 <- class_embed (reference ``train_m2f.py:125-132``).
+
+    Materializes a COPY: aliasing the same buffer at two tree leaves breaks
+    donated train steps ('attempt to donate the same buffer twice')."""
     flat = flax.traverse_util.flatten_dict(params)
     for leaf in ("kernel", "bias"):
-        flat[("predictor", "class_embed2", leaf)] = flat[
-            ("predictor", "class_embed", leaf)
-        ]
+        flat[("predictor", "class_embed2", leaf)] = jnp.array(
+            flat[("predictor", "class_embed", leaf)], copy=True
+        )
     return flax.traverse_util.unflatten_dict(flat)
 
 
@@ -169,17 +180,19 @@ class TrainM2FOOD:
     def make_stage1_step(self, tx, paired: bool = True):
         model, rcl_params = self.model, self.rcl_params
         crop_hw = tuple(self.cfg.data.crop_size)
+        num_classes = self.model.num_classes
 
         def step(state: TrainState, img, target):
             rng, step_rng, drop_rng = jax.random.split(state.rng, 3)
 
             def loss_fn(params):
                 outputs = model.apply(
-                    {"params": params, "batch_stats": state.batch_stats}, img,
+                    _vars(params, state.batch_stats), img,
                     train=True, rngs={"dropout": drop_rng},
                 )
-                sem, anomaly = inference(outputs, img.shape[1:3])
-                logit = sem[:, :19, : crop_hw[0], : crop_hw[1]]
+                sem, anomaly = inference(outputs, img.shape[1:3],
+                                         num_classes=num_classes)
+                logit = sem[:, :num_classes, : crop_hw[0], : crop_hw[1]]
                 logit = logit.transpose(0, 2, 3, 1)
                 anomaly = anomaly[:, : crop_hw[0], : crop_hw[1]]
                 tgt = target[:, : crop_hw[0], : crop_hw[1]]
@@ -208,7 +221,7 @@ class TrainM2FOOD:
 
             def loss_fn(params):
                 outputs = model.apply(
-                    {"params": params, "batch_stats": state.batch_stats}, img,
+                    _vars(params, state.batch_stats), img,
                     train=True, rngs={"dropout": drop_rng},
                 )
                 total, losses = set_criterion(
@@ -245,11 +258,12 @@ class TrainM2FOOD:
 
     def make_eval_step(self):
         model = self.model
+        num_classes = self.model.num_classes
 
         @jax.jit
         def eval_step(variables, img):
             outputs = model.apply(variables, img, train=False)
-            return inference(outputs, img.shape[1:3])
+            return inference(outputs, img.shape[1:3], num_classes=num_classes)
 
         return eval_step
 
@@ -265,15 +279,14 @@ class TrainM2FOOD:
         )
 
         if resume and self.ckpt.exists(resume):
-            restored = self.ckpt.restore(resume, {
-                "params": self.variables["params"],
-                "batch_stats": self.variables.get("batch_stats"),
-                "epoch": 0,
-            })
+            restored = self.ckpt.restore(resume)
             self.variables = {"params": restored["params"],
                               "batch_stats": restored["batch_stats"]}
             start_epoch = int(restored["epoch"]) + 1
-            log.warning("resumed %s at epoch %d", resume, start_epoch)
+            if "best_auprc" in restored:  # keep the historical best (see deeplab)
+                self.best["AUPRC"] = float(restored["best_auprc"])
+            log.warning("resumed %s at epoch %d (best AUPRC %.4f)", resume,
+                        start_epoch, self.best["AUPRC"])
 
         tx, opt_state = build_stage_optimizer(
             self.variables["params"], cfg.train.lr, cfg.train.weight_decay,
@@ -317,6 +330,10 @@ class TrainM2FOOD:
                                      np.concatenate([tc, tg])), self.mesh)
                 state, loss, aux = step_fn(state, *b)
                 n_img += ic.shape[0] * 2
+            if n_img == 0:
+                raise RuntimeError(
+                    f"loader produced no batches (dataset size {len(train_ds)} "
+                    f"< global batch with drop_last)")
             log.warning(
                 "epoch %d loss %.4f (%.1f img/s)", epoch, float(loss),
                 n_img / max(time.time() - t0, 1e-9),
@@ -324,12 +341,13 @@ class TrainM2FOOD:
 
             metrics = self.valid(state, val_ds, eval_step)
             log.warning("epoch %d %s", epoch, metrics)
-            if (metrics and metrics["AUPRC"] > self.best["AUPRC"]
-                    and jax.process_index() == 0):
+            if metrics and metrics["AUPRC"] > self.best["AUPRC"]:
                 self.best["AUPRC"] = metrics["AUPRC"]
+                # collective save: every host must call it (see deeplab_trainer)
                 self.ckpt.save("AUPRC_best", params=state.params,
                                batch_stats=state.batch_stats,
-                               opt_state=state.opt_state, epoch=epoch)
+                               opt_state=state.opt_state, epoch=epoch,
+                               best_auprc=self.best["AUPRC"])
                 log.warning("saved best model for AUPRC (%.4f)", metrics["AUPRC"])
 
         self.variables = {"params": state.params,

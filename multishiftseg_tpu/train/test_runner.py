@@ -165,11 +165,13 @@ def build_m2f_forward(cfg: Config, weight_path: Optional[str]):
 
     trainer = TrainM2FOOD(cfg, weight_path)
     model, variables = trainer.model, trainer.variables
+    num_classes = model.num_classes
 
     @jax.jit
     def fwd(img):
         outputs = model.apply(variables, img, train=False)
-        sem, anomaly = inference(outputs, img.shape[1:3])
+        sem, anomaly = inference(outputs, img.shape[1:3],
+                                 num_classes=num_classes)
         return anomaly, sem
 
     return fwd

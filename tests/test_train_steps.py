@@ -206,3 +206,41 @@ def test_instance_training_step_through_mappers():
     gnorm = sum(float(jnp.sum(jnp.abs(g)))
                 for g in jax.tree_util.tree_leaves(grads))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_swin_stage1_step_runs():
+    """Swin backbones have NO BatchNorm (batch_stats is None) and class_embed2
+    is a weight COPY, not an alias: both used to break the donated stage-1 step
+    (flax None-collection rejection; 'donate the same buffer twice')."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from multishiftseg_tpu.core.config import load_config
+    from multishiftseg_tpu.models.maskformer import MaskFormer
+    from multishiftseg_tpu.train.m2f_trainer import (TrainM2FOOD,
+                                                     copy_class_embed_to_ood)
+    from multishiftseg_tpu.train.state import TrainState, build_stage_optimizer
+
+    cfg = load_config("/root/repo/exps/m2f_swin_tiny.yaml", exp_id="swin_step")
+    cfg.data.crop_size = (64, 64)
+    cfg.train.train_batch = 1
+    cfg.train.bf16 = False
+    model = MaskFormer(num_classes=19, backbone="swin_tiny", hidden_dim=32,
+                       num_queries=12, nheads=4, dim_feedforward=64,
+                       dec_layers=3, mask_dim=32, transformer_enc_layers=1)
+    tr = TrainM2FOOD(cfg, model=model)
+    assert tr.variables.get("batch_stats") is None
+    tx, opt = build_stage_optimizer(tr.variables["params"], 1e-4, 1e-4,
+                                    ("class_embed2",))
+    state = TrainState(params=copy_class_embed_to_ood(tr.variables["params"]),
+                       batch_stats=tr.variables.get("batch_stats"),
+                       opt_state=opt, step=jnp.zeros((), jnp.int32),
+                       rng=jax.random.PRNGKey(0))
+    step = tr.make_stage1_step(tx, paired=False)
+    img = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3), jnp.float32)
+    tgt = jnp.asarray(np.random.RandomState(1).randint(0, 19, (2, 64, 64)),
+                      jnp.int32)
+    state, loss, aux = step(state, img, tgt)
+    assert np.isfinite(float(loss))
