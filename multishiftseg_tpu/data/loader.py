@@ -101,16 +101,22 @@ class Loader:
             return False
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    batch = _stack(samples)
-                    if self.device_put is not None:
-                        batch = self.device_put(batch)
-                    if not put_or_stop(batch):
-                        return
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                        batch = _stack(samples)
+                        if self.device_put is not None:
+                            batch = self.device_put(batch)
+                        if not put_or_stop(batch):
+                            return
+            except BaseException as e:  # noqa: BLE001
+                # a worker exception must reach the consumer — swallowing it
+                # here would leave the iterator blocked in q.get() forever
+                put_or_stop(e)
+                return
             put_or_stop(None)
 
         t = threading.Thread(target=produce, daemon=True)
@@ -120,6 +126,8 @@ class Loader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -114,8 +114,14 @@ def register_panoptic_folder(
             ann = by_image.get(img["id"])
             if ann is None:
                 continue
+            fn = img["file_name"]
+            path = os.path.join(image_dir, fn)
+            if not os.path.exists(path):
+                # cityscapes layout nests images under the city subdir while
+                # the panoptic json's file_name is the bare basename
+                path = os.path.join(image_dir, fn.split("_")[0], fn)
             records.append({
-                "file_name": os.path.join(image_dir, img["file_name"]),
+                "file_name": path,
                 "pan_seg_file_name": os.path.join(panoptic_dir, ann["file_name"]),
                 "segments_info": ann["segments_info"],
                 "image_id": img["id"],

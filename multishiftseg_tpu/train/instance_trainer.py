@@ -46,19 +46,39 @@ from .state import TrainState, build_m2f_official_optimizer
 log = logging.getLogger(__name__)
 
 
+def _take_segments(tgt: SegmentTargets, keep: np.ndarray) -> SegmentTargets:
+    """Keep the given (sorted) segment indices, renumbering the id map."""
+    k = len(tgt.classes)
+    remap = -np.ones(k + 1, np.int32)
+    remap[keep] = np.arange(len(keep), dtype=np.int32)
+    id_map = np.where(tgt.id_map >= 0, remap[tgt.id_map], -1).astype(np.int32)
+    return SegmentTargets(id_map, tgt.classes[keep], tgt.is_thing[keep])
+
+
+def _areas(tgt: SegmentTargets) -> np.ndarray:
+    return np.bincount(tgt.id_map[tgt.id_map >= 0].ravel(),
+                       minlength=len(tgt.classes))
+
+
 def clip_targets(tgt: SegmentTargets, k_max: int) -> SegmentTargets:
     """Keep the ``k_max`` largest segments (by pixel count) and renumber the id
     map accordingly — the static-shape stand-in for the reference's unbounded
     per-image instance list."""
-    k = len(tgt.classes)
-    if k <= k_max:
+    if len(tgt.classes) <= k_max:
         return tgt
-    areas = np.bincount(tgt.id_map[tgt.id_map >= 0].ravel(), minlength=k)
-    keep = np.sort(np.argsort(areas)[::-1][:k_max])
-    remap = -np.ones(k + 1, np.int32)
-    remap[keep] = np.arange(k_max, dtype=np.int32)
-    id_map = np.where(tgt.id_map >= 0, remap[tgt.id_map], -1).astype(np.int32)
-    return SegmentTargets(id_map, tgt.classes[keep], tgt.is_thing[keep])
+    keep = np.sort(np.argsort(_areas(tgt))[::-1][:k_max])
+    return _take_segments(tgt, keep)
+
+
+def drop_empty_segments(tgt: SegmentTargets) -> SegmentTargets:
+    """Drop segments with no pixels (cropped away): the panoptic path builds
+    targets from per-record ``segments_info``, which lists segments the
+    geometric augmentation may have removed entirely (the reference mapper
+    filters these post-crop too)."""
+    if not len(tgt.classes):
+        return tgt
+    keep = np.where(_areas(tgt) > 0)[0]
+    return tgt if len(keep) == len(tgt.classes) else _take_segments(tgt, keep)
 
 
 class InstanceDataset:
@@ -104,9 +124,9 @@ class InstanceDataset:
             tgt = instance_to_targets(
                 s.mask, divisor=self.meta.get("id_divisor", 1000))
         else:
-            tgt = panoptic_to_targets(
+            tgt = drop_empty_segments(panoptic_to_targets(
                 s.mask, rec["segments_info"],
-                thing_ids=self.meta.get("thing_ids"))
+                thing_ids=self.meta.get("thing_ids")))
         class_map = self.meta.get("class_map")
         if class_map:  # raw dataset ids -> contiguous training ids
             tgt = remap_classes(tgt, class_map)

@@ -75,6 +75,11 @@ extern "C" int mss_ood_metrics(const float* scores, const uint8_t* labels,
                                int64_t n, double recall_level, int threads,
                                double* out3) {
   if (n <= 0) return 1;
+  // NaN scores (a diverged forward) would break the sort comparator's strict
+  // weak ordering (UB in std::stable_sort) — refuse; the Python caller falls
+  // back to the exact numpy path, whose behaviour with NaN is defined
+  for (int64_t i = 0; i < n; ++i)
+    if (std::isnan(scores[i])) return 2;
   std::vector<int64_t> idx(n);
   for (int64_t i = 0; i < n; ++i) idx[i] = i;
   parallel_sort_idx(scores, idx, threads);

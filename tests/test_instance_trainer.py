@@ -85,3 +85,90 @@ def test_instance_trainer_e2e(fake_instance_data, tmp_path, monkeypatch):
     assert len(present) >= 1  # at least one thing survives the crop
     assert img.shape == (64, 64, 3) and id_map.shape == (64, 64)
     assert classes.shape == (8,)
+
+
+@pytest.fixture
+def fake_panoptic_data(tmp_path):
+    """Cityscapes panoptic layout: RGB-id pngs + cityscapes_panoptic_train.json."""
+    import json
+
+    rng = np.random.RandomState(1)
+    city = tmp_path / "cityscapes"
+    img_dir = city / "leftImg8bit" / "train" / "aachen"
+    pan_dir = city / "gtFine" / "cityscapes_panoptic_train"
+    img_dir.mkdir(parents=True)
+    pan_dir.mkdir(parents=True)
+    images, annotations = [], []
+    for i in range(4):
+        stem = f"aachen_{i:06d}_000019"
+        Image.fromarray((rng.rand(96, 96, 3) * 255).astype(np.uint8)).save(
+            img_dir / f"{stem}_leftImg8bit.png")
+        # segments: road (raw 7 -> trainId 0), person x2 (raw 24 -> trainId 11)
+        pan = np.zeros((96, 96), np.int64)
+        pan[:] = 1
+        pan[10:40, 10:40] = 2
+        pan[50:80, 15:45] = 3
+        rgb = np.stack([pan % 256, pan // 256 % 256, pan // 65536],
+                       -1).astype(np.uint8)
+        Image.fromarray(rgb).save(pan_dir / f"{stem}_gtFine_panoptic.png")
+        images.append({"id": i, "file_name": f"{stem}_leftImg8bit.png"})
+        annotations.append({
+            "image_id": i, "file_name": f"{stem}_gtFine_panoptic.png",
+            "segments_info": [
+                {"id": 1, "category_id": 7, "iscrowd": 0},
+                {"id": 2, "category_id": 24, "iscrowd": 0},
+                {"id": 3, "category_id": 24, "iscrowd": 0},
+            ],
+        })
+    with open(city / "gtFine" / "cityscapes_panoptic_train.json", "w") as f:
+        json.dump({"images": images, "annotations": annotations}, f)
+    return str(city)
+
+
+def test_panoptic_trainer_e2e(fake_panoptic_data, tmp_path, monkeypatch):
+    from multishiftseg_tpu.data.registry import DatasetCatalog
+    from multishiftseg_tpu.models.maskformer import MaskFormer
+    from multishiftseg_tpu.train.instance_trainer import TrainM2FInstance
+
+    monkeypatch.chdir(tmp_path)
+    DatasetCatalog.remove("cityscapes_panoptic_train")
+    cfg = load_config("/root/repo/exps/m2f_panoptic.yaml", exp_id="pan_test")
+    cfg.data.cityscapes_root = fake_panoptic_data
+    cfg.data.crop_size = (64, 64)
+    cfg.train.n_epochs = 1
+    cfg.train.train_batch = 2
+    cfg.train.bf16 = False
+    cfg.data.num_workers = 2
+    cfg.model.m2f.max_instances = 8
+
+    m = cfg.model.m2f
+    assert m.panoptic_on and m.num_classes == 19
+    model = MaskFormer(num_classes=m.num_classes, hidden_dim=32, num_queries=12,
+                       nheads=4, dim_feedforward=64, dec_layers=3, mask_dim=32,
+                       transformer_enc_layers=1, predictor=m.transformer_decoder)
+    trainer = TrainM2FInstance(cfg, model=model)
+    assert trainer.task == "panoptic"
+    result = trainer.train()
+    assert np.isfinite(result["loss"])
+
+    # class map applied: raw 7 -> trainId 0 (road), raw 24 -> trainId 11 (person,
+    # duplicated); thing flags from the raw thing ids
+    ds = trainer.build_dataset()
+    img, id_map, classes = ds[0]
+    present = sorted(classes[classes >= 0])
+    assert set(present) <= {0, 11}
+    assert img.shape == (64, 64, 3) and classes.shape == (8,)
+
+
+def test_drop_empty_segments():
+    from multishiftseg_tpu.data.mappers import SegmentTargets
+    from multishiftseg_tpu.train.instance_trainer import drop_empty_segments
+
+    id_map = -np.ones((8, 8), np.int32)
+    id_map[:4] = 0
+    id_map[4:] = 2  # segment 1 was cropped away entirely
+    tgt = SegmentTargets(id_map, np.array([5, 6, 7], np.int64),
+                         np.array([True, False, True]))
+    out = drop_empty_segments(tgt)
+    assert list(out.classes) == [5, 7]
+    assert (out.id_map[4:] == 1).all()  # renumbered

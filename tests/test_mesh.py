@@ -97,3 +97,20 @@ def test_loader_refuses_partial_global_batch_when_sharded():
     with pytest.raises(ValueError, match="drop_last"):
         Loader(list(range(22)), batch_size=3, drop_last=False,
                shard_index=0, shard_count=2)
+
+
+def test_loader_propagates_worker_exceptions():
+    """A dataset exception in the producer thread must surface to the consumer
+    (it used to kill the producer silently and hang the iterator in q.get)."""
+    from multishiftseg_tpu.data.loader import Loader
+
+    class Bad:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise ValueError("boom")
+
+    with pytest.raises(ValueError, match="boom"):
+        for _ in Loader(Bad(), batch_size=2, num_workers=2):
+            pass

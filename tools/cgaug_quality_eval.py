@@ -1,14 +1,20 @@
 """CG-Aug backend quality evaluation: train the compact backends on structured
-data, run generation through BOTH quality filters, record pass-rates, and flow the
-accepted generations into a real `DiverseCityscapes` training epoch.
+data, run generation through the SAM-IoU quality filter, record pass-rates, and
+flow the accepted generations into a real `DiverseCityscapes` training epoch.
 
 The reference's CG-Aug quality rests on frozen pretrained ControlNet-SD1.5 + SAM
 ViT-H (`CGAug/generate_multishift_image.py:32-60,145-184`); those weights are not
 obtainable in this environment, so this framework ships compact TRAINABLE backends
 instead. This tool is the evidence run for that design: it measures whether the
-trained backends pass the reference's filter protocol (SAM-box IoU > 0.7, detector
-mean anomaly score gate) at meaningful rates on data with real structure (label
-layouts that determine image content, so seg-conditioning is learnable).
+trained backends pass the reference's SAM-box IoU > 0.7 filter protocol at
+meaningful rates on data with real structure (label layouts that determine image
+content, so seg-conditioning is learnable).
+
+Scope note: the reference's SECOND gate (Mask2Anomaly mean anomaly score >=
+-3.02) needs a TRAINED OOD detector to be meaningful, which this offline run
+does not have — the detector slot is left empty (auto_filter then skips that
+gate, and the recorded pass-rates are SAM-IoU-only). `make_m2f_detector` wires
+a converted checkpoint into the slot when one is available.
 
 Usage: python tools/cgaug_quality_eval.py [workdir] [--steps N]
 Prints one JSON line with the recorded pass-rates; also appended to the doc trail.
@@ -175,7 +181,8 @@ def main():
         diffusion=diffusion,
         anomaly_source=src,
         segmenter=segmenter,
-        detector=None,  # calibrated below
+        detector=None,  # SAM-IoU-only run: no trained OOD detector offline
+                        # (see the scope note in the module docstring)
         cfg=GenerationConfig(iou_threshold=0.7, max_retries=4, seed=0),
     )
     # generation output in the DiverseCityscapes generation_root layout

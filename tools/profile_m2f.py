@@ -6,14 +6,12 @@ the jax.profiler device trace — the evidence base for PERF.md's gather-wall nu
 Usage: python tools/profile_m2f.py [out_dir]
 """
 
-import glob
-import gzip
-import json
 import sys
 from collections import defaultdict
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
+sys.path.insert(0, str(Path(__file__).parent))
 
 import jax
 import jax.numpy as jnp
@@ -31,28 +29,14 @@ def run_traced(trace_dir: str, fwd, *args, iters: int = 3):
 
 
 def parse_trace(trace_dir: str, iters: int):
-    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
-    assert files, f"no trace under {trace_dir}"
-    with gzip.open(sorted(files)[-1], "rt") as f:
-        tr = json.load(f)
-    events = tr["traceEvents"]
-    # device pids: process_name metadata containing "TPU" / "Device"
-    dev_pids = set()
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            name = e["args"].get("name", "")
-            if "TPU" in name or "/device:" in name or "Device" in name:
-                dev_pids.add(e["pid"])
+    from tracing import load_device_events  # the one shared trace parser
+
     busy = defaultdict(float)
     names = defaultdict(float)
     total = 0.0
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
-            continue
-        name = e.get("name", "")
-        args = e.get("args", {})
-        cat = args.get("hlo_category", "")
-        dur = e.get("dur", 0) / 1e3  # us -> ms
+    for name, cat, dur in load_device_events(trace_dir):
+        # keep uncategorized fusions in the busy total (XLA leaves some
+        # custom fusions uncategorized; dropping them undercounts)
         if not cat and not name.startswith("fusion"):
             continue
         total += dur

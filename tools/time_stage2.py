@@ -73,7 +73,9 @@ def main():
     t0 = time.time()
     for _ in range(args.iters):
         state, loss, _ = step_fn(state, *b)
-    jax.block_until_ready(loss)
+    # host scalar read bounds the window: block_until_ready alone has been
+    # observed to return early over this transport (bench.py discipline)
+    float(loss)
     dt = (time.time() - t0) / args.iters
     print(f"stage-2 step: {dt * 1e3:.0f} ms  ({args.batch / dt:.2f} img/s/chip)",
           flush=True)

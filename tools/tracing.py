@@ -12,8 +12,10 @@ import jax
 import jax.numpy as jnp
 
 
-def device_time_ms(trace_dir: str) -> dict:
-    """Sum device-event durations (ms) by hlo_category from a jax.profiler trace."""
+def load_device_events(trace_dir: str):
+    """Device-pid X-events from the newest jax.profiler trace under
+    ``trace_dir`` as ``(name, hlo_category, dur_ms)`` tuples — the single
+    parser shared by every trace-reading tool."""
     files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
     assert files, f"no trace under {trace_dir}"
     with gzip.open(sorted(files)[-1], "rt") as f:
@@ -25,14 +27,20 @@ def device_time_ms(trace_dir: str) -> dict:
             name = e["args"].get("name", "")
             if "TPU" in name or "/device:" in name or "Device" in name:
                 dev_pids.add(e["pid"])
+    return [
+        (e.get("name", ""), e.get("args", {}).get("hlo_category", ""),
+         e.get("dur", 0) / 1e3)
+        for e in events
+        if e.get("ph") == "X" and e.get("pid") in dev_pids
+    ]
+
+
+def device_time_ms(trace_dir: str) -> dict:
+    """Sum device-event durations (ms) by hlo_category from a jax.profiler trace."""
     busy = defaultdict(float)
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
-            continue
-        cat = e.get("args", {}).get("hlo_category", "")
-        if not cat:
-            continue
-        busy[cat] += e.get("dur", 0) / 1e3
+    for _, cat, dur in load_device_events(trace_dir):
+        if cat:
+            busy[cat] += dur
     busy["TOTAL"] = sum(busy.values())
     return dict(busy)
 
@@ -49,7 +57,8 @@ def trace_op(fn, tab, idx, iters: int = 8, trace_dir: str = "/tmp/op_trace") -> 
             out = fn(tab, cur)
             zero = (out.ravel()[0] * 0).astype(idx.dtype)
             cur = idx + zero
-        jax.block_until_ready(cur)
-        float(jnp.sum(jnp.asarray(0.0)))
+        # host read OF THE DEPENDENCY CHAIN: an unrelated constant would let
+        # the trace close before the final dispatches complete
+        float(jnp.sum(cur.astype(jnp.float32)))
     busy = device_time_ms(trace_dir)
     return {k: v / iters for k, v in busy.items()}
