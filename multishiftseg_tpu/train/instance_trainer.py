@@ -176,7 +176,7 @@ class TrainM2FInstance:
         self.ckpt = CheckpointManager(cfg.model_dir)
         self.variables = self._build_variables(weight_path)
 
-    def _register_default(self) -> str:
+    def _register_default(self, split: str = "train") -> str:
         """Register the Cityscapes-layout dataset under ``cfg.data.cityscapes_root``
         (the path the reference's Base-Cityscapes yamls assume)."""
         import os
@@ -187,7 +187,7 @@ class TrainM2FInstance:
         from ..data.cityscapes import LABELS
 
         root = self.cfg.data.cityscapes_root
-        name = f"cityscapes_{self.task}_train"
+        name = f"cityscapes_{self.task}_{split}"
         if name in DatasetCatalog.list():
             return name
         # the raw-id -> contiguous maps detectron2 keeps in dataset metadata:
@@ -196,19 +196,19 @@ class TrainM2FInstance:
         if self.task == "instance":
             register_instance_folder(
                 name,
-                image_dir=os.path.join(root, "leftImg8bit", "train"),
-                instance_dir=os.path.join(root, "gtFine", "train"),
+                image_dir=os.path.join(root, "leftImg8bit", split),
+                instance_dir=os.path.join(root, "gtFine", split),
             )
             MetadataCatalog.set(
                 name, class_map={c: i for i, c in enumerate(thing_raw)})
         else:
             register_panoptic_folder(
                 name,
-                image_dir=os.path.join(root, "leftImg8bit", "train"),
+                image_dir=os.path.join(root, "leftImg8bit", split),
                 panoptic_dir=os.path.join(root, "gtFine",
-                                          "cityscapes_panoptic_train"),
+                                          f"cityscapes_panoptic_{split}"),
                 panoptic_json=os.path.join(
-                    root, "gtFine", "cityscapes_panoptic_train.json"),
+                    root, "gtFine", f"cityscapes_panoptic_{split}.json"),
                 thing_ids=thing_raw,
             )
             MetadataCatalog.set(
@@ -331,3 +331,66 @@ class TrainM2FInstance:
         self.variables = {"params": state.params,
                           "batch_stats": state.batch_stats}
         return {"loss": last_loss}
+
+    def evaluate(self, dataset_name: Optional[str] = None,
+                 max_images: Optional[int] = None) -> Optional[Dict[str, float]]:
+        """COCO-protocol instance AP over a registered val split: per-image
+        model forward -> ``instance_inference`` top-k mask extraction ->
+        :class:`InstanceSegEvaluator` (the evaluator the reference ships but
+        never wires into an entry point, ``instance_evaluation.py:30``)."""
+        from ..data.cityscapes import LABELS
+        from ..evals.instance_metrics import InstanceSegEvaluator
+        from ..models.inference_extras import instance_inference
+        from ..ops.resize import resize_bilinear_nchw
+
+        d = self.cfg.data
+        m = self.cfg.model.m2f
+        name = dataset_name or self._register_default("val")
+        transform = Compose([[ToTensor(), 1.0],
+                             [Normalize(mean=d.mean, std=d.std), 1.0]])
+        # generous padding: eval ground truth must not clip segments
+        ds = InstanceDataset(name, transform, max_instances=256)
+        if len(ds) == 0:
+            return None
+        model = self.model
+        variables = {"params": self.variables["params"]}
+        if self.variables.get("batch_stats") is not None:
+            variables["batch_stats"] = self.variables["batch_stats"]
+
+        @jax.jit
+        def fwd(img):
+            out = model.apply(variables, img, train=False)
+            return out["pred_logits"], out["pred_masks"]
+
+        # panoptic gt mixes stuff + things; instance AP scores things only
+        thing_ids = ({l.train_id for l in LABELS
+                      if l.has_instances and not l.ignore_in_eval}
+                     if self.task == "panoptic" else None)
+        ev = InstanceSegEvaluator(m.num_classes)
+        n = len(ds) if max_images is None else min(len(ds), max_images)
+        for i in range(n):
+            img, id_map, classes = ds[i]
+            h, w = img.shape[:2]
+            ph, pw = (-h) % 32, (-w) % 32
+            imgp = np.pad(img, ((0, ph), (0, pw), (0, 0))) if ph or pw else img
+            logits, masks = fwd(jnp.asarray(imgp[None]))
+            masks_up = resize_bilinear_nchw(masks, imgp.shape[:2],
+                                            align_corners=False)
+            pred = instance_inference(
+                np.asarray(logits[0], np.float32),
+                np.asarray(masks_up[0], np.float32)[:, :h, :w],
+                thing_ids=thing_ids,
+            )
+            k = int((classes >= 0).sum())  # padded() keeps valid slots first
+            gt_masks = (np.stack([id_map == j for j in range(k)])
+                        if k else np.zeros((0, h, w), bool))
+            gt_classes = classes[:k].astype(np.int64)
+            if thing_ids is not None and k:
+                keep = np.isin(gt_classes, list(thing_ids))
+                gt_masks, gt_classes = gt_masks[keep], gt_classes[keep]
+            ev.process(
+                {"masks": pred["pred_masks"].astype(bool),
+                 "scores": pred["scores"], "classes": pred["pred_classes"]},
+                {"masks": gt_masks, "classes": gt_classes},
+            )
+        return ev.evaluate()

@@ -14,10 +14,11 @@ from multishiftseg_tpu.core.config import load_config
 def fake_instance_data(tmp_path):
     rng = np.random.RandomState(0)
     city = tmp_path / "cityscapes"
-    for i in range(4):
+    for split, i in [("train", 0), ("train", 1), ("train", 2), ("train", 3),
+                     ("val", 0), ("val", 1)]:
         stem = f"aachen_{i:06d}_000019"
-        ip = city / "leftImg8bit" / "train" / "aachen" / f"{stem}_leftImg8bit.png"
-        lp = city / "gtFine" / "train" / "aachen" / f"{stem}_gtFine_instanceIds.png"
+        ip = city / "leftImg8bit" / split / "aachen" / f"{stem}_leftImg8bit.png"
+        lp = city / "gtFine" / split / "aachen" / f"{stem}_gtFine_instanceIds.png"
         ip.parent.mkdir(parents=True, exist_ok=True)
         lp.parent.mkdir(parents=True, exist_ok=True)
         Image.fromarray((rng.rand(96, 96, 3) * 255).astype(np.uint8)).save(ip)
@@ -75,6 +76,14 @@ def test_instance_trainer_e2e(fake_instance_data, tmp_path, monkeypatch):
     result = trainer.train()
     assert np.isfinite(result["loss"])
     assert trainer.ckpt.exists("last")
+
+    # instance AP evaluation end-to-end over the val split (model ->
+    # instance_inference -> COCO evaluator); random init, so only sanity-check
+    from multishiftseg_tpu.data.registry import DatasetCatalog as _DC
+    _DC.remove("cityscapes_instance_val")
+    ap = trainer.evaluate(max_images=2)
+    assert ap is not None and set(ap) >= {"AP", "AP50", "AP75"}
+    assert np.isnan(ap["AP"]) or 0.0 <= ap["AP"] <= 1.0
 
     # duplicate-class targets really flow through, with the raw->contiguous
     # class map applied (person raw 24 -> contiguous 0, car raw 26 -> 2)

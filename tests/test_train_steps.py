@@ -244,3 +244,42 @@ def test_swin_stage1_step_runs():
                       jnp.int32)
     state, loss, aux = step(state, img, tgt)
     assert np.isfinite(float(loss))
+
+
+def test_swin_stage2_step_runs():
+    """The official-loss stage-2 step (matcher + criterion + AdamW groups) with
+    a Swin backbone: batch_stats is None through the whole donated step."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from multishiftseg_tpu.core.config import load_config
+    from multishiftseg_tpu.models.maskformer import MaskFormer
+    from multishiftseg_tpu.train.m2f_trainer import (TrainM2FOOD,
+                                                     copy_class_embed_to_ood)
+    from multishiftseg_tpu.train.state import (TrainState,
+                                               build_m2f_official_optimizer)
+
+    cfg = load_config("/root/repo/exps/m2f_swin_tiny.yaml", exp_id="swin_s2")
+    cfg.data.crop_size = (64, 64)
+    cfg.train.train_batch = 1
+    cfg.train.bf16 = False
+    cfg.model.m2f.train_num_points = 64
+    model = MaskFormer(num_classes=19, backbone="swin_tiny", hidden_dim=32,
+                       num_queries=24, nheads=4, dim_feedforward=64,
+                       dec_layers=3, mask_dim=32, transformer_enc_layers=1)
+    tr = TrainM2FOOD(cfg, model=model)
+    tx, opt = build_m2f_official_optimizer(
+        tr.variables["params"], base_lr=1e-4, weight_decay=0.05,
+        clip_value=0.01, trainable_names=(".",))
+    state = TrainState(params=copy_class_embed_to_ood(tr.variables["params"]),
+                       batch_stats=tr.variables.get("batch_stats"),
+                       opt_state=opt, step=jnp.zeros((), jnp.int32),
+                       rng=jax.random.PRNGKey(0))
+    step = tr.make_stage2_step(tx, paired=False)
+    img = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3), jnp.float32)
+    tgt = np.random.RandomState(1).randint(0, 19, (2, 64, 64))
+    tgt[:, :10, :10] = 254  # live OOD pixels
+    state, loss, losses = step(state, img, jnp.asarray(tgt, jnp.int32))
+    assert np.isfinite(float(loss))
