@@ -1,0 +1,151 @@
+"""Learning-evidence run: the two-stage RCL recipe on synthetic data with real
+signal, demonstrating the OOD objective actually trains.
+
+Builds a tiny Cityscapes-layout dataset where the generated half contains a
+visually distinct anomaly patch labelled 254 (the CG-Aug contract), runs the
+REAL ``TrainDeepLabOOD`` loop (paired loader, stage schedule, RCL, best-AUPRC
+checkpointing) on a small WRN trunk, and reports validation AUPRC per epoch.
+Success = AUPRC climbs from ~chance to near 1.0 — evidence that the RCL
+gradient path (energy head <- -logsumexp <- contrastive terms) is wired
+correctly end-to-end, complementing the per-component torch-parity oracles.
+
+Usage: python tools/learning_demo.py [--epochs 12] [--workdir DIR]
+Prints one JSON line {"auprc_first", "auprc_best", "improved"}.
+"""
+
+import argparse
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+from PIL import Image
+
+TINY_TRUNK = dict(
+    trunk_structure=(1, 1, 1, 1, 1, 1),
+    trunk_channels=((8, 8), (8, 8), (16, 16), (16, 16), (8, 16, 32), (16, 32, 64)),
+)
+
+
+def build_data(root: Path, n_train: int = 16, n_val: int = 6, hw: int = 96):
+    rng = np.random.RandomState(0)
+    city = root / "cityscapes"
+    gen = root / "DTWP"
+    track = root / "anomaly_track"
+
+    def scene(r):
+        """Structured road scene: sky / road / building bands + texture."""
+        img = np.zeros((hw, hw, 3), np.float32)
+        img[: hw // 3] = (0.4, 0.5, 0.7)      # sky
+        img[hw // 3: 2 * hw // 3] = (0.3, 0.3, 0.3)  # building
+        img[2 * hw // 3:] = (0.45, 0.4, 0.45)  # road
+        img += r.randn(hw, hw, 3) * 0.05
+        lab = np.zeros((hw, hw), np.uint8)
+        lab[: hw // 3] = 10
+        lab[hw // 3: 2 * hw // 3] = 2
+        lab[2 * hw // 3:] = 0
+        return img, lab
+
+    def anomaly(img, lab, r):
+        """Bright saturated patch on the road = the pasted OOD object."""
+        y = int(r.randint(2 * hw // 3, hw - 18))
+        x = int(r.randint(0, hw - 18))
+        img[y: y + 16, x: x + 16] = (0.95, 0.1, 0.1)
+        lab[y: y + 16, x: x + 16] = 254
+        return img, lab
+
+    def save(img, lab, ip, lp):
+        ip.parent.mkdir(parents=True, exist_ok=True)
+        lp.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(ip)
+        Image.fromarray(lab).save(lp)
+
+    for i in range(n_train):
+        stem = f"aachen_{i:06d}_000019"
+        r = np.random.RandomState(100 + i)
+        img, lab = scene(r)
+        save(img, lab,
+             city / "leftImg8bit" / "train" / "aachen" / f"{stem}_leftImg8bit.png",
+             city / "gtFine" / "train" / "aachen" / f"{stem}_gtFine_labelTrainIds.png")
+        gi, gl = anomaly(*scene(r), r)
+        save(gi, gl,
+             gen / "leftImg8bit" / "train" / "aachen" / f"{stem}_x_leftImg8bit.png",
+             gen / "gtFine" / "train" / "aachen" / f"{stem}_x_gtFine_labelTrainIds.png")
+
+    for i in range(n_val):
+        r = np.random.RandomState(900 + i)
+        img, lab = anomaly(*scene(r), r)
+        ood = (lab == 254).astype(np.uint8)
+        ip = track / "images" / f"val{i}.jpg"
+        lp = track / "labels_masks" / f"val{i}_labels_semantic.png"
+        ip.parent.mkdir(parents=True, exist_ok=True)
+        lp.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(ip)
+        Image.fromarray(ood).save(lp)
+
+    return {"cityscapes": str(city), "generation": str(gen), "track": str(track)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+
+    import logging
+
+    logging.basicConfig(level=logging.WARNING, stream=sys.stderr)
+    work = Path(args.workdir or tempfile.mkdtemp(prefix="learning_demo_"))
+    roots = build_data(work)
+
+    import os
+
+    os.chdir(work)  # ckpts/<id> land in the workdir
+
+    from multishiftseg_tpu.core.config import load_config
+    from multishiftseg_tpu.models.deeplab import DeepWV3Plus
+    from multishiftseg_tpu.train.deeplab_trainer import TrainDeepLabOOD
+
+    cfg = load_config("/root/repo/exps/deeplab.yaml", exp_id="learning_demo")
+    cfg.data.cityscapes_root = roots["cityscapes"]
+    cfg.data.generation_root = roots["generation"]
+    cfg.data.anomaly_track_root = roots["track"]
+    cfg.data.coco_root = str(work / "no_coco")
+    cfg.data.crop_size = (64, 64)
+    cfg.train.n_epochs = args.epochs
+    cfg.train.warmup_epoch = max(args.epochs // 2, 1)
+    cfg.train.train_batch = 4
+    cfg.train.lr = 1e-3  # tiny model, tiny data: faster than the 1e-4 recipe
+    cfg.train.bf16 = False
+    cfg.data.num_workers = 2
+    cfg.loss.params["num_pair_samples"] = 512
+
+    model = DeepWV3Plus(num_classes=19, **TINY_TRUNK)
+    trainer = TrainDeepLabOOD(cfg, model=model)
+
+    # first-epoch metric as the chance-level reference point
+    first = {}
+    orig_valid = trainer.valid
+
+    def wrapped_valid(state, val_ds):
+        m = orig_valid(state, val_ds)
+        if m and not first:
+            first.update(m)
+        return m
+
+    trainer.valid = wrapped_valid
+    best = trainer.train()
+    out = {
+        "auprc_first_epoch": round(first.get("AUPRC", float("nan")), 4),
+        "auprc_best": round(best["AUPRC"], 4),
+        "improved": bool(best["AUPRC"] > first.get("AUPRC", 1.0) + 0.1),
+    }
+    print(json.dumps(out))
+    return 0 if out["improved"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
