@@ -91,6 +91,7 @@ def build_data(root: Path, n_train: int = 16, n_val: int = 6, hw: int = 96):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=["deeplab", "m2f"], default="deeplab")
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
@@ -106,10 +107,8 @@ def main():
     os.chdir(work)  # ckpts/<id> land in the workdir
 
     from multishiftseg_tpu.core.config import load_config
-    from multishiftseg_tpu.models.deeplab import DeepWV3Plus
-    from multishiftseg_tpu.train.deeplab_trainer import TrainDeepLabOOD
 
-    cfg = load_config("/root/repo/exps/deeplab.yaml", exp_id="learning_demo")
+    cfg = load_config(f"/root/repo/exps/{args.model}.yaml", exp_id="learning_demo")
     cfg.data.cityscapes_root = roots["cityscapes"]
     cfg.data.generation_root = roots["generation"]
     cfg.data.anomaly_track_root = roots["track"]
@@ -123,25 +122,51 @@ def main():
     cfg.data.num_workers = 2
     cfg.loss.params["num_pair_samples"] = 512
 
-    model = DeepWV3Plus(num_classes=19, **TINY_TRUNK)
-    trainer = TrainDeepLabOOD(cfg, model=model)
+    if args.model == "deeplab":
+        from multishiftseg_tpu.models.deeplab import DeepWV3Plus
+        from multishiftseg_tpu.train.deeplab_trainer import TrainDeepLabOOD
 
-    # first-epoch metric as the chance-level reference point
-    first = {}
-    orig_valid = trainer.valid
+        model = DeepWV3Plus(num_classes=19, **TINY_TRUNK)
+        trainer = TrainDeepLabOOD(cfg, model=model)
+    else:
+        from multishiftseg_tpu.models.maskformer import MaskFormer
+        from multishiftseg_tpu.train.m2f_trainer import (
+            TrainM2FOOD, copy_class_embed_to_ood)
 
-    def wrapped_valid(state, val_ds):
-        m = orig_valid(state, val_ds)
-        if m and not first:
-            first.update(m)
-        return m
+        cfg.model.m2f.train_num_points = 256
+        model = MaskFormer(num_classes=19, hidden_dim=32, num_queries=24,
+                           nheads=4, dim_feedforward=64, dec_layers=3,
+                           mask_dim=32, transformer_enc_layers=1)
+        trainer = TrainM2FOOD(cfg, model=model)
+        # the reference initializes the OOD head by weight copy (stage 1
+        # trains class_embed2 only, so it must start from class_embed)
+        trainer.variables["params"] = copy_class_embed_to_ood(
+            trainer.variables["params"])
 
-    trainer.valid = wrapped_valid
+    # BEFORE-training baseline: DeepLab's untrained energy score is chance;
+    # M2F's max-softmax uncertainty separates unusual patches partly zero-shot
+    # (the Mask2Anomaly premise), so its improvement window is smaller
+    from multishiftseg_tpu.data.anomaly import RoadAnomaly21
+    from multishiftseg_tpu.data.transforms import Compose, Normalize, ToTensor
+    from multishiftseg_tpu.train.validation import batched_valid
+
+    test_tf = Compose([ToTensor(), Normalize(mean=cfg.data.mean,
+                                             std=cfg.data.std)])
+    val_ds = RoadAnomaly21(root=cfg.data.anomaly_track_root, transform=test_tf)
+    if args.model == "deeplab":
+        base = batched_valid(
+            val_ds, lambda im: trainer.eval_step(trainer.variables, im)[0])
+    else:
+        ev = trainer.make_eval_step()
+        base = batched_valid(
+            val_ds, lambda im: ev(trainer.variables, im)[1])
+    baseline = base["AUPRC"] if base else float("nan")
+
     best = trainer.train()
     out = {
-        "auprc_first_epoch": round(first.get("AUPRC", float("nan")), 4),
+        "auprc_untrained": round(baseline, 4),
         "auprc_best": round(best["AUPRC"], 4),
-        "improved": bool(best["AUPRC"] > first.get("AUPRC", 1.0) + 0.1),
+        "improved": bool(best["AUPRC"] > baseline + 0.05),
     }
     print(json.dumps(out))
     return 0 if out["improved"] else 1
