@@ -46,5 +46,14 @@ class CheckpointManager:
             raise KeyError(f"checkpoint {name} lacks entries {missing}")
         return {k: restored[k] for k in template}
 
+    def restore_typed(self, name: str, target: Dict[str, Any]):
+        """Restore with ``target`` as the structural template (orbax target
+        restore): required to round-trip non-dict pytree nodes like optax's
+        NamedTuple optimizer states — the plain :meth:`restore` returns raw
+        dicts whose leaf ORDER need not match the NamedTuple's fields."""
+        import orbax.checkpoint as ocp
+
+        return ocp.StandardCheckpointer().restore(self._path(name), target)
+
     def exists(self, name: str) -> bool:
         return os.path.isdir(self._path(name))

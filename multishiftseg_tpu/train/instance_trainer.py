@@ -284,22 +284,25 @@ class TrainM2FInstance:
                         drop_last=True, num_workers=cfg.data.num_workers,
                         seed=cfg.train.seed)
 
-        if resume and self.ckpt.exists(resume):
-            restored = self.ckpt.restore(resume, {
-                "params": self.variables["params"],
-                "batch_stats": self.variables.get("batch_stats"),
-                "epoch": 0,
-            })
-            self.variables = {"params": restored["params"],
-                              "batch_stats": restored["batch_stats"]}
-            start_epoch = int(restored["epoch"]) + 1
-            log.warning("resumed %s at epoch %d", resume, start_epoch)
-
         tx, opt_state = build_m2f_official_optimizer(
             self.variables["params"], base_lr=m.base_lr,
             weight_decay=m.weight_decay, clip_value=m.clip_gradients_value,
             trainable_names=cfg.model.trainable_params_name or (".",),
         )
+        if resume and self.ckpt.exists(resume):
+            # typed restore: the 'last' checkpoint carries the Adam moments —
+            # resuming with a fresh optimizer would silently change dynamics
+            restored = self.ckpt.restore_typed(resume, {
+                "params": self.variables["params"],
+                "batch_stats": self.variables.get("batch_stats"),
+                "opt_state": opt_state,
+                "epoch": 0,
+            })
+            self.variables = {"params": restored["params"],
+                              "batch_stats": restored["batch_stats"]}
+            opt_state = restored["opt_state"]
+            start_epoch = int(restored["epoch"]) + 1
+            log.warning("resumed %s at epoch %d", resume, start_epoch)
         step_fn = self.make_train_step(tx)
         state = TrainState(
             params=self.variables["params"],
@@ -368,11 +371,12 @@ class TrainM2FInstance:
                      if self.task == "panoptic" else None)
         ev = InstanceSegEvaluator(m.num_classes)
         n = len(ds) if max_images is None else min(len(ds), max_images)
+        from ..data.loader import pad_to_multiple
+        from ..data.mappers import segments_to_masks
+
         for i in range(n):
             img, id_map, classes = ds[i]
-            h, w = img.shape[:2]
-            ph, pw = (-h) % 32, (-w) % 32
-            imgp = np.pad(img, ((0, ph), (0, pw), (0, 0))) if ph or pw else img
+            imgp, (h, w) = pad_to_multiple(img, 32)
             logits, masks = fwd(jnp.asarray(imgp[None]))
             masks_up = resize_bilinear_nchw(masks, imgp.shape[:2],
                                             align_corners=False)
@@ -382,8 +386,7 @@ class TrainM2FInstance:
                 thing_ids=thing_ids,
             )
             k = int((classes >= 0).sum())  # padded() keeps valid slots first
-            gt_masks = (np.stack([id_map == j for j in range(k)])
-                        if k else np.zeros((0, h, w), bool))
+            gt_masks = segments_to_masks(id_map, k)
             gt_classes = classes[:k].astype(np.int64)
             if thing_ids is not None and k:
                 keep = np.isin(gt_classes, list(thing_ids))

@@ -181,3 +181,32 @@ def test_drop_empty_segments():
     out = drop_empty_segments(tgt)
     assert list(out.classes) == [5, 7]
     assert (out.id_map[4:] == 1).all()  # renumbered
+
+
+def test_checkpoint_restore_typed_roundtrips_optax_state(tmp_path):
+    """restore_typed preserves optax NamedTuple structure (the plain restore
+    returns raw dicts whose leaf order need not match the NamedTuple fields)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from multishiftseg_tpu.train.checkpoint import CheckpointManager
+
+    params = {"w": jnp.arange(4.0), "b": jnp.ones(2)}
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+    opt_state = tx.init(params)
+    # advance one step so the moments are non-trivial
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    ckpt.save("last", params=params, opt_state=opt_state, epoch=3)
+    fresh = tx.init(params)
+    restored = ckpt.restore_typed(
+        "last", {"params": params, "opt_state": fresh, "epoch": 0})
+    # structure preserved: the restored state drives another update
+    _, _ = tx.update(grads, restored["opt_state"], restored["params"])
+    lr = jax.tree_util.tree_leaves(restored["opt_state"])
+    lo = jax.tree_util.tree_leaves(opt_state)
+    assert all(np.allclose(a, b) for a, b in zip(lr, lo))
+    assert int(restored["epoch"]) == 3

@@ -9,8 +9,8 @@ Success = AUPRC climbs from ~chance to near 1.0 — evidence that the RCL
 gradient path (energy head <- -logsumexp <- contrastive terms) is wired
 correctly end-to-end, complementing the per-component torch-parity oracles.
 
-Usage: python tools/learning_demo.py [--epochs 12] [--workdir DIR]
-Prints one JSON line {"auprc_first", "auprc_best", "improved"}.
+Usage: python tools/learning_demo.py [--model deeplab|m2f] [--epochs 12]
+Prints one JSON line {"auprc_untrained", "auprc_best", "improved"}.
 """
 
 import argparse
@@ -19,7 +19,8 @@ import sys
 import tempfile
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).parent.parent))
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 
 import numpy as np
 from PIL import Image
@@ -108,7 +109,8 @@ def main():
 
     from multishiftseg_tpu.core.config import load_config
 
-    cfg = load_config(f"/root/repo/exps/{args.model}.yaml", exp_id="learning_demo")
+    cfg = load_config(str(REPO / "exps" / f"{args.model}.yaml"),
+                      exp_id="learning_demo")
     cfg.data.cityscapes_root = roots["cityscapes"]
     cfg.data.generation_root = roots["generation"]
     cfg.data.anomaly_track_root = roots["track"]
