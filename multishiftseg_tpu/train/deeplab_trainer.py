@@ -183,32 +183,50 @@ class TrainDeepLabOOD:
             shard_index=jax.process_index(), shard_count=jax.process_count(),
         )
 
+        raw = None
         if resume and self.ckpt.exists(resume):
-            restored = self.ckpt.restore(resume)
-            self.variables = {"params": restored["params"],
-                              "batch_stats": restored["batch_stats"]}
-            start_epoch = int(restored["epoch"]) + 1
+            raw = self.ckpt.restore(resume)
+            self.variables = {"params": raw["params"],
+                              "batch_stats": raw.get("batch_stats")}
+            start_epoch = int(raw["epoch"]) + 1
             # restore the historical best so a worse post-resume epoch cannot
             # overwrite the AUPRC_best checkpoint (absent in old checkpoints)
-            if "best_auprc" in restored:
-                self.best["AUPRC"] = float(restored["best_auprc"])
+            if "best_auprc" in raw:
+                self.best["AUPRC"] = float(raw["best_auprc"])
             log.warning("resumed %s at epoch %d (best AUPRC %.4f)", resume,
                         start_epoch, self.best["AUPRC"])
 
-        tx, opt_state = self._stage_optimizer(0)
+        # stage of the first epoch to run (see m2f_trainer: a full 'last'
+        # checkpoint restores the matching stage's optimizer + PRNG)
+        stage = int(cfg.train.warmup_epoch >= 0
+                    and start_epoch >= cfg.train.warmup_epoch)
+        tx, opt_state = self._stage_optimizer(stage)
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        saved_stage = int(cfg.train.warmup_epoch >= 0 and raw is not None
+                          and start_epoch - 1 >= cfg.train.warmup_epoch)
+        if (raw is not None and "opt_state" in raw and "rng" in raw
+                and saved_stage == stage):
+            typed = self.ckpt.restore_typed(resume, {
+                "params": self.variables["params"],
+                "batch_stats": self.variables.get("batch_stats"),
+                "opt_state": opt_state, "epoch": 0, "rng": rng,
+                "best_auprc": 0.0,
+            })
+            opt_state = typed["opt_state"]
+            rng = jnp.asarray(typed["rng"])
+            log.warning("restored optimizer + PRNG state (full resume)")
         state = TrainState(
             params=self.variables["params"],
             batch_stats=self.variables.get("batch_stats"),
             opt_state=opt_state,
             step=jnp.zeros((), jnp.int32),
-            rng=jax.random.PRNGKey(cfg.train.seed),
+            rng=rng,
         )
         # replicate the state over the (possibly global) mesh so every host's jit
         # sees identically-placed inputs
         state = jax.device_put(state, replicated(self.mesh))
         paired = jax.process_count() > 1
         train_step = make_train_step(self.model, tx, self.rcl_params, paired=paired)
-        stage = 0
 
         for epoch in range(start_epoch, cfg.train.n_epochs):
             if stage == 0 and cfg.train.warmup_epoch >= 0 and epoch >= cfg.train.warmup_epoch:
@@ -267,6 +285,12 @@ class TrainDeepLabOOD:
                     best_auprc=self.best["AUPRC"],
                 )
                 log.warning("saved best model for AUPRC (%.4f)", metrics["AUPRC"])
+            # fault-tolerance checkpoint: full state incl. optimizer + PRNG,
+            # overwritten per epoch; resume with --resume last
+            self.ckpt.save("last", params=state.params,
+                           batch_stats=state.batch_stats,
+                           opt_state=state.opt_state, epoch=epoch,
+                           rng=state.rng, best_auprc=self.best["AUPRC"])
 
         self.variables = {"params": state.params, "batch_stats": state.batch_stats}
         return self.best

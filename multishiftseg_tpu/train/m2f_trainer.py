@@ -278,30 +278,64 @@ class TrainM2FOOD:
             shard_index=jax.process_index(), shard_count=jax.process_count(),
         )
 
+        raw = None
         if resume and self.ckpt.exists(resume):
-            restored = self.ckpt.restore(resume)
-            self.variables = {"params": restored["params"],
-                              "batch_stats": restored["batch_stats"]}
-            start_epoch = int(restored["epoch"]) + 1
-            if "best_auprc" in restored:  # keep the historical best (see deeplab)
-                self.best["AUPRC"] = float(restored["best_auprc"])
+            raw = self.ckpt.restore(resume)
+            self.variables = {"params": raw["params"],
+                              "batch_stats": raw.get("batch_stats")}
+            start_epoch = int(raw["epoch"]) + 1
+            if "best_auprc" in raw:  # keep the historical best (see deeplab)
+                self.best["AUPRC"] = float(raw["best_auprc"])
             log.warning("resumed %s at epoch %d (best AUPRC %.4f)", resume,
                         start_epoch, self.best["AUPRC"])
 
-        tx, opt_state = build_stage_optimizer(
-            self.variables["params"], cfg.train.lr, cfg.train.weight_decay,
-            cfg.model.trainable_params_name,
-        )
-        step_fn = self.make_stage1_step(tx, paired=self._paired)
+        # stage of the FIRST epoch to run: building the matching optimizer up
+        # front lets a full 'last' checkpoint restore its Adam moments instead
+        # of restarting them at the warmup boundary re-run
+        stage = int(cfg.train.warmup_epoch >= 0
+                    and start_epoch >= cfg.train.warmup_epoch)
+        m = cfg.model.m2f
+        if stage == 0:
+            tx, opt_state = build_stage_optimizer(
+                self.variables["params"], cfg.train.lr, cfg.train.weight_decay,
+                cfg.model.trainable_params_name,
+            )
+            step_fn = self.make_stage1_step(tx, paired=self._paired)
+        else:
+            tx, opt_state = build_m2f_official_optimizer(
+                self.variables["params"], base_lr=m.base_lr,
+                weight_decay=m.weight_decay, clip_value=m.clip_gradients_value,
+                trainable_names=cfg.model.trainable_params_name_update or (".",),
+            )
+            step_fn = self.make_stage2_step(tx, paired=self._paired)
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        # the saved optimizer's stage must match the start stage (a 'last'
+        # checkpoint from the final warmup epoch holds a stage-1 optimizer
+        # while the resumed epoch begins stage 2 — there the recipe's own
+        # boundary switch builds the stage-2 optimizer fresh)
+        saved_stage = int(cfg.train.warmup_epoch >= 0 and raw is not None
+                          and start_epoch - 1 >= cfg.train.warmup_epoch)
+        if (raw is not None and "opt_state" in raw and "rng" in raw
+                and saved_stage == stage):
+            # full fault-tolerance resume (the per-epoch 'last' checkpoint):
+            # typed restore rebuilds the optax NamedTuple structure
+            typed = self.ckpt.restore_typed(resume, {
+                "params": self.variables["params"],
+                "batch_stats": self.variables.get("batch_stats"),
+                "opt_state": opt_state, "epoch": 0, "rng": rng,
+                "best_auprc": 0.0,
+            })
+            opt_state = typed["opt_state"]
+            rng = jnp.asarray(typed["rng"])
+            log.warning("restored optimizer + PRNG state (full resume)")
         state = TrainState(
             params=self.variables["params"],
             batch_stats=self.variables.get("batch_stats"),
             opt_state=opt_state,
-            step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(cfg.train.seed),
+            step=jnp.zeros((), jnp.int32), rng=rng,
         )
         state = jax.device_put(state, replicated(self.mesh))
         eval_step = self.make_eval_step()
-        stage = 0
 
         for epoch in range(start_epoch, cfg.train.n_epochs):
             if stage == 0 and cfg.train.warmup_epoch >= 0 and epoch >= cfg.train.warmup_epoch:
@@ -349,6 +383,12 @@ class TrainM2FOOD:
                                opt_state=state.opt_state, epoch=epoch,
                                best_auprc=self.best["AUPRC"])
                 log.warning("saved best model for AUPRC (%.4f)", metrics["AUPRC"])
+            # fault-tolerance checkpoint: full state incl. optimizer + PRNG,
+            # overwritten per epoch; resume with --resume last
+            self.ckpt.save("last", params=state.params,
+                           batch_stats=state.batch_stats,
+                           opt_state=state.opt_state, epoch=epoch,
+                           rng=state.rng, best_auprc=self.best["AUPRC"])
 
         self.variables = {"params": state.params,
                           "batch_stats": state.batch_stats}

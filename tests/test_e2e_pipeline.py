@@ -179,6 +179,18 @@ def test_m2f_resume_crosses_stage_boundary(fake_data, tmp_path, monkeypatch):
     saved2 = trainer2.ckpt.restore("AUPRC_best")
     assert int(saved2["epoch"]) >= 1
 
+    # Full fault-tolerance resume: the per-epoch 'last' checkpoint carries the
+    # optimizer + PRNG; resuming from it restores them (typed orbax restore)
+    # and continues into one more stage-2 epoch.
+    assert trainer2.ckpt.exists("last")
+    last = trainer2.ckpt.restore("last")
+    assert {"opt_state", "rng", "best_auprc"} <= set(last)
+    cfg.train.n_epochs = 3
+    trainer3 = TrainM2FOOD(cfg, model=MaskFormer(**kw))
+    best3 = trainer3.train(resume="last")
+    assert best3["AUPRC"] >= best["AUPRC"]  # historical best survives resume
+    assert int(trainer3.ckpt.restore("last")["epoch"]) == 2
+
 
 def test_eval_runner_tta(fake_data, tmp_path, monkeypatch):
     """--tta averages the {identity, hflip} forwards; a flip-equivariant stub
