@@ -52,6 +52,25 @@ class AnomalySource(Protocol):
         """-> (binary object mask [h, w], ADE20K class name)."""
 
 
+# Cityscapes train cities in the reference's 4 generation-job shards
+# (``generation_utils.py:14-30`` — offline generation parallelizes by
+# launching one process per city batch); val cities for the val split.
+CITY_BATCHES = [
+    ["aachen", "bochum", "bremen", "cologne"],
+    ["darmstadt", "dusseldorf", "erfurt", "hamburg"],
+    ["hanover", "jena", "krefeld", "monchengladbach", "strasbourg"],
+    ["stuttgart", "tubingen", "ulm", "weimar", "zurich"],
+]
+VAL_CITIES = ["frankfurt", "lindau", "munster"]
+
+
+def get_cities(split: str = "train", city_batch: int = 0):
+    """The reference's generation-job sharding (``get_cities``)."""
+    if split == "train":
+        return CITY_BATCHES[city_batch]
+    return VAL_CITIES
+
+
 def _bbox(mask: np.ndarray) -> np.ndarray:
     ys, xs = np.where(mask == 1)
     return np.asarray([xs.min(), ys.min(), xs.max(), ys.max()])

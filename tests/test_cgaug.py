@@ -113,3 +113,15 @@ def test_weight_registry(tmp_path, monkeypatch):
         W.fetch_weight("bt-f-xl", str(tmp_path))
     with pytest.raises(KeyError):
         W.fetch_weight("nope", str(tmp_path))
+
+
+def test_get_cities_job_sharding():
+    """generation-job sharding parity (reference get_cities,
+    generation_utils.py:14-30): 4 train batches cover all 18 train cities;
+    val = frankfurt/lindau/munster."""
+    from multishiftseg_tpu.cgaug.generate import CITY_BATCHES, get_cities
+
+    all_cities = [c for b in CITY_BATCHES for c in b]
+    assert len(all_cities) == len(set(all_cities)) == 18
+    assert get_cities("train", 2) == CITY_BATCHES[2]
+    assert get_cities("val") == ["frankfurt", "lindau", "munster"]
