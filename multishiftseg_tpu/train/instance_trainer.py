@@ -31,7 +31,8 @@ import numpy as np
 from PIL import Image
 
 from ..core.config import Config
-from ..core.mesh import fit_mesh_to_batch, replicated, shard_batch
+from ..core.mesh import (DATA_AXIS, fit_mesh_to_batch, make_global_mesh,
+                         replicated, shard_batch, shard_global_batch)
 from ..data.loader import Loader
 from ..data.mappers import (SegmentTargets, instance_to_targets,
                             panoptic_to_targets, remap_classes, rgb2id)
@@ -149,12 +150,21 @@ class TrainM2FInstance:
         self.cfg = cfg
         m = cfg.model.m2f
         self.task = "panoptic" if m.panoptic_on else "instance"
-        # batches are NOT paired here — the data axis fits train_batch rows
-        self.mesh = fit_mesh_to_batch(cfg.train.train_batch, cfg.train.num_devices)
+        # batches are NOT paired here — the data axis fits train_batch rows.
+        # Multi-host: host-major global mesh, each host feeds its contiguous
+        # batch slice (same contract as the OOD trainers, minus the halves).
         if jax.process_count() > 1:
-            raise NotImplementedError(
-                "instance trainer is single-host for now; the OOD trainers carry "
-                "the multi-host path")
+            self.mesh = make_global_mesh()
+            n = self.mesh.shape[DATA_AXIS]
+            if cfg.train.train_batch % n != 0:
+                raise ValueError(
+                    f"train_batch {cfg.train.train_batch} not divisible by the "
+                    f"global data axis ({n} devices over "
+                    f"{jax.process_count()} hosts)")
+        else:
+            self.mesh = fit_mesh_to_batch(cfg.train.train_batch,
+                                          cfg.train.num_devices)
+        self.local_batch = cfg.train.train_batch // jax.process_count()
         self.model = model or MaskFormer(
             num_classes=m.num_classes, backbone=m.backbone,
             hidden_dim=m.hidden_dim, num_queries=m.num_queries, nheads=m.nheads,
@@ -280,9 +290,11 @@ class TrainM2FInstance:
         cfg = self.cfg
         m = cfg.model.m2f
         ds = self.build_dataset()
-        loader = Loader(ds, batch_size=cfg.train.train_batch, shuffle=True,
+        loader = Loader(ds, batch_size=self.local_batch, shuffle=True,
                         drop_last=True, num_workers=cfg.data.num_workers,
-                        seed=cfg.train.seed)
+                        seed=cfg.train.seed,
+                        shard_index=jax.process_index(),
+                        shard_count=jax.process_count())
 
         tx, opt_state = build_m2f_official_optimizer(
             self.variables["params"], base_lr=m.base_lr,
@@ -317,7 +329,10 @@ class TrainM2FInstance:
             ds.set_epoch(epoch)
             t0, n_img = time.time(), 0
             for img, id_map, classes in loader:
-                b = shard_batch((img, id_map, classes), self.mesh)
+                if jax.process_count() > 1:
+                    b = shard_global_batch((img, id_map, classes), self.mesh)
+                else:
+                    b = shard_batch((img, id_map, classes), self.mesh)
                 state, loss, losses = step_fn(state, *b)
                 n_img += img.shape[0]
             if n_img == 0:
