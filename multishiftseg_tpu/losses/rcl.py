@@ -15,8 +15,9 @@ Components (weights follow the experiment YAMLs):
         and relu(s_aug - s_clean - m2) on pixels in-distribution in both views.
 
 TPU-native deviations from the reference (expectation-preserving, all shapes static):
-  * the dynamic ``topk(select_num)`` over a variable pixel population becomes a sort +
-    cumulative-sum indexed at the traced count — same selected set, no dynamic shapes;
+  * the dynamic ``topk(select_num)`` over a variable pixel population becomes an exact
+    k-th-smallest threshold (bit-space binary search, ``_bottom_k_sum``) + masked
+    sums — same selected set and loss value, no dynamic shapes, no sort;
   * ``randperm``-based pair sampling becomes Gumbel-top-k sampling of a fixed pool
     (``num_pair_samples``) with the first ``min(populations, pool)`` pairs active via a
     weight mask — uniform random pixel subsets, identical expectation;
@@ -59,6 +60,41 @@ def _pixel_ce(logits: jax.Array, targets: jax.Array, valid: jax.Array) -> jax.Ar
     t = jnp.clip(targets, 0, logits.shape[-1] - 1)
     nll = -jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
     return nll * valid
+
+
+def _bottom_k_sum(values: jax.Array, keyed: jax.Array, select_num: jax.Array) -> jax.Array:
+    """Sum of the ``select_num`` smallest-keyed elements of ``values`` — without a sort.
+
+    ``keyed`` must be a detached copy of ``values`` (>= 0, ``+inf`` at invalid
+    positions). A 32-step binary search over the float32 bit pattern (monotonic
+    for non-negative floats) finds the exact k-th smallest key; the selected sum
+    is then two masked reductions. Value-exact vs. sort+cumsum; gradient flows
+    with weight 1 to elements strictly below the threshold and is spread evenly
+    across threshold ties (the sorted form picks the first-k ties instead —
+    identical values, and ties are float-identical CE values, so the loss and
+    its expectation are unchanged). Replaces a 2M-element argsort + gather
+    (+ its backward scatter) with O(32) elementwise passes — the stage-2 device
+    trace attributed ~28 ms to the sort alone (PERF.md).
+    """
+    bits = jax.lax.bitcast_convert_type(keyed, jnp.uint32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // jnp.uint32(2)
+        found = jnp.sum((bits <= mid).astype(jnp.int32)) >= select_num
+        return jnp.where(found, lo, mid + 1), jnp.where(found, mid, hi)
+
+    t_bits, _ = jax.lax.fori_loop(
+        0, 32, body, (jnp.uint32(0), jnp.uint32(0xFFFFFFFF))
+    )
+    less = bits < t_bits
+    eq = bits == t_bits
+    n_less = jnp.sum(less.astype(jnp.int32))
+    n_eq = jnp.maximum(jnp.sum(eq.astype(jnp.int32)), 1)
+    need = jnp.maximum(select_num - n_less, 0).astype(jnp.float32)
+    sum_less = jnp.sum(jnp.where(less, values, 0.0))
+    sum_eq = jnp.sum(jnp.where(eq, values, 0.0))
+    return sum_less + sum_eq * (need / n_eq.astype(jnp.float32))
 
 
 def _sample_masked(
@@ -113,15 +149,11 @@ def rel_contrastive_loss(
     if p.conduct_pixel_selection and 0.0 < p.selection_ratio < 1.0:
         detached = jax.lax.stop_gradient(aug_ce)
         keyed = jnp.where(aug_in, detached, jnp.inf)
-        order = jnp.argsort(keyed)  # ascending: easiest pixels first
-        sorted_ce = aug_ce[order]
         total = jnp.sum(aug_in)
         select_num = (p.selection_ratio * total).astype(jnp.int32)
-        csum = jnp.cumsum(jnp.where(jnp.isfinite(keyed[order]), sorted_ce, 0.0))
+        ssum = _bottom_k_sum(aug_ce, keyed, select_num)
         ce_aug = jnp.where(
-            select_num > 0,
-            csum[jnp.maximum(select_num - 1, 0)] / jnp.maximum(select_num, 1),
-            0.0,
+            select_num > 0, ssum / jnp.maximum(select_num, 1), 0.0
         )
     else:
         ce_aug = jnp.where(jnp.sum(aug_in) > 0, jnp.sum(aug_ce) / aug_ce.size, 0.0)

@@ -355,6 +355,13 @@ def _core_vjp_bwd(spatial_shapes, quantize_table, residuals, g):
 
         # <corner_c, g> per sample point, in row form: tile g over the four corner
         # blocks, multiply, block-sum — no (2,2,D) patch tensor is materialized.
+        # (A fully lane-structured alternative — corner weights expanded over
+        # 4D lanes with two selects, three fused multiply+ones-dot reduces in
+        # place of this [R, 4] inner + the (2, 2) einsums — was measured at
+        # 1255 ms vs 946 ms same-session at stage-2 shapes and rejected, the
+        # round-2 wholesale-lane result reproduced piecewise: contracting
+        # 128 lanes to 1 re-reads the [R, 4D] product once per output and
+        # XLA's corner-minor einsums here are cheaper than they look.)
         gqt = jnp.tile(gq, (1, 1, 4))  # [nm, lq, 4D]
         prod = rows.reshape(n * m, lq, P, 4 * d) * gqt[:, :, None, :]
         inner = jax.lax.dot_general(
