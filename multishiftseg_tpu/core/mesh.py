@@ -59,6 +59,23 @@ def data_sharded(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
 
+def spatial_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard the HEIGHT axis (axis 1 of an NHWC batch) over the data axis —
+    whole-image eval partitioned *spatially* across the mesh.
+
+    This is the SURVEY §5 "long-context" analogue for a vision model: the
+    sequence axis is the pixel grid of one 1024x2048 image, and scaling past
+    one chip means splitting that grid, not the batch. Under jit XLA SPMD
+    inserts halo exchanges for convolutions and collectives for cross-row
+    reductions (ASPP global pooling, interpolation-matrix resizes, attention
+    over flattened tokens), so the partitioned forward is numerically
+    identical to the single-device one (tested on the virtual CPU mesh);
+    parameters stay replicated. Use for single-image latency scaling —
+    batch-axis data parallelism (:func:`data_sharded`) remains the
+    throughput-optimal layout when images can be batched."""
+    return NamedSharding(mesh, P(None, DATA_AXIS, *([None] * (ndim - 2))))
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host pytree of arrays onto the mesh, batch-sharded on axis 0."""
     def put(x):

@@ -144,22 +144,48 @@ class OODEvaluator:
         return results
 
 
-def build_deeplab_forward(cfg: Config, weight_path: Optional[str]):
+def spatial_jit(fn, variables, n_devices: int):
+    """Jit an eval forward with the input image sharded SPATIALLY (height axis)
+    over an ``n_devices`` data mesh — single-image latency scaling
+    (``core/mesh.py::spatial_sharding``). Parameters are replicated; outputs
+    are fetched to host by the caller as usual."""
+    from ..core.mesh import DATA_AXIS, make_mesh, replicated, spatial_sharding
+
+    mesh = make_mesh(num_devices=n_devices)
+    variables = jax.device_put(variables, replicated(mesh))
+    rows = mesh.shape[DATA_AXIS]
+    jf = jax.jit(fn, in_shardings=(replicated(mesh), spatial_sharding(mesh)))
+
+    def wrapped(img):
+        if img.shape[1] % rows:
+            raise ValueError(
+                f"image height {img.shape[1]} not divisible by the spatial mesh "
+                f"({rows} devices); pad to a multiple (eval buckets already are)")
+        return jf(variables, img)
+
+    return wrapped
+
+
+def build_deeplab_forward(cfg: Config, weight_path: Optional[str],
+                          spatial_devices: int = 0):
     from ..models.deeplab import DeepWV3Plus
     from ..train.deeplab_trainer import TrainDeepLabOOD
 
     trainer = TrainDeepLabOOD(cfg, weight_path)
     model, variables = trainer.model, trainer.variables
 
-    @jax.jit
-    def fwd(img):
+    def fwd(variables, img):
         score, logit = model.apply(variables, img, train=False)
         return score, logit.transpose(0, 3, 1, 2)
 
-    return fwd
+    if spatial_devices:
+        return spatial_jit(fwd, variables, spatial_devices)
+    jf = jax.jit(fwd)
+    return lambda img: jf(variables, img)
 
 
-def build_m2f_forward(cfg: Config, weight_path: Optional[str]):
+def build_m2f_forward(cfg: Config, weight_path: Optional[str],
+                      spatial_devices: int = 0):
     from ..models.maskformer import inference
     from ..train.m2f_trainer import TrainM2FOOD
 
@@ -167,14 +193,16 @@ def build_m2f_forward(cfg: Config, weight_path: Optional[str]):
     model, variables = trainer.model, trainer.variables
     num_classes = model.num_classes
 
-    @jax.jit
-    def fwd(img):
+    def fwd(variables, img):
         outputs = model.apply(variables, img, train=False)
         sem, anomaly = inference(outputs, img.shape[1:3],
                                  num_classes=num_classes)
         return anomaly, sem
 
-    return fwd
+    if spatial_devices:
+        return spatial_jit(fwd, variables, spatial_devices)
+    jf = jax.jit(fwd)
+    return lambda img: jf(variables, img)
 
 
 def main():
@@ -186,12 +214,15 @@ def main():
     parser.add_argument("--test_dataset", default=None)
     parser.add_argument("--tta", action="store_true",
                         help="horizontal-flip test-time augmentation")
+    parser.add_argument("--spatial", type=int, default=0, metavar="N",
+                        help="shard each image's height over an N-device mesh "
+                             "(single-image latency scaling; 0 = off)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
     cfg = load_config(args.cfg, args.id)
     build = build_deeplab_forward if args.model == "deeplab" else build_m2f_forward
-    fwd = build(cfg, args.weight_path)
+    fwd = build(cfg, args.weight_path, spatial_devices=args.spatial)
 
     d = cfg.data
     roots = {
