@@ -185,6 +185,85 @@ class MultiShiftGenerator:
             log.info("%s: generated (%s%s)", stem, ood_name, domain)
 
 
+def main(argv: Optional[Sequence[str]] = None):
+    """CLI driver — the ``python CGAug/generate_multishift_image.py`` equivalent.
+
+    Walks the Cityscapes ``gtFine`` color labels of one generation-job city
+    batch (the reference's 4-way ``get_cities`` sharding), builds the backend
+    pair, and writes generated images + 254-labelled trainId maps into the
+    ``DiverseCityscapes`` generation layout
+    (``<out_root>/{leftImg8bit,gtFine}/<split>/<city>/``)."""
+    import argparse
+    import glob as globlib
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--cityscapes_root", default="./datasets/cityscapes")
+    ap.add_argument("--ade_root", required=True,
+                    help="ADE20K 2021 root (with index_ade20k.pkl + class mapping)")
+    ap.add_argument("--out_root", default="./datasets/DTWP_ADE_final")
+    ap.add_argument("--split", default="train", choices=["train", "val"])
+    ap.add_argument("--city_batch", type=int, default=0,
+                    help="generation-job shard 0-3 (reference get_cities)")
+    ap.add_argument("--backend", default="real", choices=["real", "trainable"],
+                    help="'real' = fetched control_sd15_seg.pth + SAM ViT-H; "
+                         "'trainable' = the compact JAX backends")
+    ap.add_argument("--download_dir", default="pretrained_model")
+    ap.add_argument("--diffusion_ckpt", default=None,
+                    help="trainable backend: orbax dir from cgaug/train_backends.py")
+    ap.add_argument("--segmenter_ckpt", default=None)
+    ap.add_argument("--detector_weight", default=None,
+                    help="M2F checkpoint for the anomaly-score gate "
+                         "(reference: Mask2Anomaly at score >= -3.02)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="[%(asctime)s] %(message)s")
+    from .ade20k_source import ADE20KAnomalySource
+
+    if args.backend == "real":
+        from .weights import build_real_backends
+
+        diffusion, segmenter = build_real_backends(args.download_dir)
+    else:
+        from .train_backends import load_backends
+
+        diffusion, segmenter = load_backends(args.diffusion_ckpt,
+                                             args.segmenter_ckpt)
+
+    detector = None
+    if args.detector_weight:
+        from ..core.config import load_config
+        from ..train.m2f_trainer import TrainM2FOOD
+
+        trainer = TrainM2FOOD(load_config(None, "cgaug_detector"),
+                              weight_path=args.detector_weight)
+        detector = make_m2f_detector(trainer.variables, trainer.model)
+
+    gen = MultiShiftGenerator(
+        diffusion,
+        ADE20KAnomalySource(args.ade_root),
+        GenerationConfig(seed=args.seed),
+        segmenter=segmenter,
+        detector=detector,
+    )
+    for city in get_cities(args.split, args.city_batch):
+        colors = sorted(globlib.glob(os.path.join(
+            args.cityscapes_root, "gtFine", args.split, city,
+            "*_gtFine_color.png")))
+        tids = [c.replace("_gtFine_color.png", "_gtFine_labelTrainIds.png")
+                for c in colors]
+        log.info("%s: %d frames", city, len(colors))
+        gen.run(
+            colors, tids,
+            out_image_dir=os.path.join(args.out_root, "leftImg8bit",
+                                       args.split, city),
+            out_label_dir=os.path.join(args.out_root, "gtFine",
+                                       args.split, city),
+        )
+    log.info("filter stats: %s", gen.stats)
+    return gen.stats
+
+
 def make_m2f_detector(variables, model) -> AnomalyDetector:
     """Serve the quality-filter detector slot with this framework's Mask2Anomaly
     model (replacing the reference's separate Mask2Anomaly torch checkpoint)."""
@@ -210,3 +289,6 @@ def make_m2f_detector(variables, model) -> AnomalyDetector:
             return np.asarray(fwd(jnp.asarray(x[None]))[0, :h, :w])
 
     return _Detector()
+
+if __name__ == "__main__":
+    main()

@@ -189,6 +189,33 @@ def train_segmenter(
     return params, last
 
 
+def load_backends(
+    diffusion_ckpt: str,
+    segmenter_ckpt: Optional[str] = None,
+    image_hw: Tuple[int, int] = (256, 512),
+    base: int = 64,
+    segmenter_base: int = 32,
+    steps: int = 50,
+):
+    """Rebuild the trained compact backends from their checkpoint directories
+    (the ``diffusion_last`` / ``segmenter_last`` names this module saves) —
+    the `--backend trainable` path of ``cgaug.generate.main``. ``image_hw``,
+    ``base`` etc. must match the training call (the defaults match this
+    module's defaults)."""
+    from .diffusion import JaxSegDiffusion
+    from .segmenter import JaxPromptableSegmenter
+
+    diff_params = CheckpointManager(diffusion_ckpt).restore("diffusion_last")["params"]
+    diffusion = JaxSegDiffusion(image_hw, params=diff_params, base=base,
+                                steps=steps)
+    segmenter = None
+    if segmenter_ckpt:
+        seg_params = CheckpointManager(segmenter_ckpt).restore(
+            "segmenter_last")["params"]
+        segmenter = JaxPromptableSegmenter(params=seg_params, base=segmenter_base)
+    return diffusion, segmenter
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("which", choices=["diffusion", "segmenter"])

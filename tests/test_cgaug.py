@@ -125,3 +125,68 @@ def test_get_cities_job_sharding():
     assert len(all_cities) == len(set(all_cities)) == 18
     assert get_cities("train", 2) == CITY_BATCHES[2]
     assert get_cities("val") == ["frankfurt", "lindau", "munster"]
+
+
+def test_generate_cli_main(tmp_path, monkeypatch):
+    """The CLI driver (`python -m multishiftseg_tpu.cgaug.generate`): city-batch
+    walking, backend wiring, and the DiverseCityscapes output layout
+    (<out>/{leftImg8bit,gtFine}/<split>/<city>/)."""
+    import numpy as np
+    from PIL import Image
+
+    from multishiftseg_tpu.cgaug import generate as G
+
+    cs = tmp_path / "cityscapes"
+    city = "aachen"  # city batch 0
+    gt = cs / "gtFine" / "train" / city
+    gt.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    color = np.zeros((64, 128, 3), np.uint8)
+    color[:32] = (70, 130, 180)  # sky
+    color[32:] = (128, 64, 128)  # road
+    tid = np.full((64, 128), 255, np.uint8)
+    tid[32:] = 0
+    for frame in ("000000_000019", "000001_000019"):
+        Image.fromarray(color).save(gt / f"{city}_{frame}_gtFine_color.png")
+        Image.fromarray(tid).save(gt / f"{city}_{frame}_gtFine_labelTrainIds.png")
+
+    class StubDiffusion:
+        def generate(self, seg, prompt):
+            return rng.integers(0, 255, seg.shape, np.uint8)
+
+    class StubSource:
+        def sample(self, rng):
+            return np.ones((8, 8), np.uint8), "boat"  # a real ADE20K class
+
+    monkeypatch.setattr(G, "ADE20KAnomalySource", None, raising=False)
+    monkeypatch.setattr(
+        "multishiftseg_tpu.cgaug.train_backends.load_backends",
+        lambda d, s, **kw: (StubDiffusion(), None))
+    # route the ade source through the stub (main imports it from the module)
+    import multishiftseg_tpu.cgaug.ade20k_source as ade
+
+    monkeypatch.setattr(ade, "ADE20KAnomalySource", lambda root: StubSource())
+
+    out = tmp_path / "gen"
+    stats = G.main([
+        "--cityscapes_root", str(cs), "--ade_root", "unused",
+        "--out_root", str(out), "--split", "train", "--city_batch", "0",
+        "--backend", "trainable", "--diffusion_ckpt", "unused",
+    ])
+    assert stats["accepted"] == 2 and stats["failed_images"] == 0
+    for frame in ("000000_000019", "000001_000019"):
+        img = out / "leftImg8bit" / "train" / city / f"{city}_{frame}_leftImg8bit.png"
+        lbl = (out / "gtFine" / "train" / city /
+               f"{city}_{frame}_gtFine_labelTrainIds.png")
+        assert img.exists() and lbl.exists()
+        l = np.asarray(Image.open(lbl))
+        assert (l == 254).any()  # pasted anomaly pixels labelled OOD
+
+    # resume-by-existence: a second run generates nothing new
+    before = stats["attempts"]
+    stats2 = G.main([
+        "--cityscapes_root", str(cs), "--ade_root", "unused",
+        "--out_root", str(out), "--split", "train", "--city_batch", "0",
+        "--backend", "trainable", "--diffusion_ckpt", "unused",
+    ])
+    assert stats2["attempts"] == 0
