@@ -184,3 +184,80 @@ def test_spatial_sharding_m2f_matches_unsharded():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(sh_sem), np.asarray(ref_sem),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_tensor_parallel_deeplab_matches_unsharded():
+    """Real TP: large kernels + their channel vectors sharded over the model
+    axis (params live partitioned in memory), XLA SPMD partitions the
+    contractions — output must equal the replicated forward."""
+    import jax.numpy as jnp
+
+    model = _tiny_deeplab()
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 64, 64, 3), jnp.float32)
+    v = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, x, train=False)
+    ref_s, ref_l = jax.jit(lambda v, x: model.apply(v, x, train=False))(v, x)
+
+    m = M.make_mesh(num_devices=8, model_parallel=4)
+    vs = M.shard_params(v, m, min_size=64)
+    # the TP rules must actually shard something (tiny trunk: 64/128-ch convs)
+    sharded_leaves = [
+        l for l in jax.tree_util.tree_leaves(vs)
+        if "model" in str(l.sharding.spec)
+    ]
+    assert sharded_leaves, "no leaf was tensor-sharded"
+    xs = jax.device_put(x, M.data_sharded(m))
+    sh_s, sh_l = jax.jit(
+        lambda v, x: model.apply(v, x, train=False),
+        in_shardings=(M.tensor_parallel_shardings(v, m, min_size=64),
+                      M.data_sharded(m)),
+    )(vs, xs)
+    np.testing.assert_allclose(np.asarray(sh_s), np.asarray(ref_s),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sh_l), np.asarray(ref_l),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_tensor_parallel_train_step():
+    """One real DeepLab train step on a (data=2, model=4) mesh with
+    TP-sharded params: Adam moments inherit the param shardings, gradients
+    reduce correctly, loss matches the replicated step."""
+    import jax.numpy as jnp
+
+    from multishiftseg_tpu.losses.rcl import RCLParams
+    from multishiftseg_tpu.train.deeplab_trainer import make_train_step
+    from multishiftseg_tpu.train.state import TrainState, build_stage_optimizer
+
+    model = _tiny_deeplab()
+    h = w = 64
+    img = np.random.RandomState(0).randn(4, h, w, 3).astype(np.float32)
+    tgt = np.random.RandomState(1).randint(0, 19, (4, h, w)).astype(np.int32)
+    tgt[2:, 10:20, 10:20] = 254
+    v = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, h, w, 3)), train=False)
+    rcl = RCLParams(conduct_pixel_selection=True, selection_ratio=0.8,
+                    num_pair_samples=512)
+
+    def run(mesh, model_parallel):
+        # fresh copies: the donated step would otherwise delete buffers that
+        # device_put aliased from v across runs
+        vv = jax.tree_util.tree_map(jnp.copy, v)
+        tx, _ = build_stage_optimizer(vv["params"], lr=1e-3, weight_decay=1e-4,
+                                      trainable_names=("ood_head",))
+        params = M.shard_params(vv["params"], mesh, min_size=64)
+        opt_state = tx.init(params)  # moments inherit the param shardings
+        state = TrainState(
+            params=params,
+            batch_stats=jax.device_put(vv["batch_stats"], M.replicated(mesh)),
+            opt_state=opt_state,
+            step=jax.device_put(jnp.zeros((), jnp.int32), M.replicated(mesh)),
+            rng=jax.device_put(jax.random.PRNGKey(0), M.replicated(mesh)),
+        )
+        step = make_train_step(model, tx, rcl)
+        b = M.shard_batch((img, tgt), mesh)
+        state, loss, _ = step(state, *b)
+        return float(loss)
+
+    l_dp = run(M.make_mesh(num_devices=4, model_parallel=1), 1)  # data=4
+    l_tp = run(M.make_mesh(num_devices=8, model_parallel=4), 4)  # data=2 x model=4
+    assert abs(l_dp - l_tp) < 1e-3 * max(1.0, abs(l_dp)), (l_dp, l_tp)
