@@ -130,3 +130,27 @@ def test_rcl_jits_and_grads(rng):
     assert np.isfinite(np.asarray(g[0])).all()
     assert np.isfinite(np.asarray(g[1])).all()
     assert np.abs(np.asarray(g[1])).sum() > 0  # score gradient flows
+
+
+def test_bottom_k_sum_matches_sort():
+    """_bottom_k_sum: exact k-smallest sum via bit-space binary search — value
+    parity with np.sort over random values, threshold ties, and k edges."""
+    import jax
+    import jax.numpy as jnp
+
+    from multishiftseg_tpu.losses.rcl import _bottom_k_sum
+
+    r = np.random.RandomState(0)
+    vals = np.abs(r.randn(4097)).astype(np.float32)
+    vals[100:140] = vals[7]  # a 41-way tie crossing typical thresholds
+    valid = r.rand(4097) > 0.2
+    keyed = np.where(valid, vals, np.inf).astype(np.float32)
+    masked_vals = np.where(valid, vals, 0.0).astype(np.float32)
+    srt = np.sort(keyed[valid])
+
+    f = jax.jit(_bottom_k_sum)
+    for k in (0, 1, 7, int(0.8 * valid.sum()), int(valid.sum())):
+        got = float(f(jnp.asarray(masked_vals), jnp.asarray(keyed),
+                      jnp.int32(k)))
+        want = float(srt[:k].sum())
+        assert got == pytest.approx(want, rel=1e-5, abs=1e-5), (k, got, want)

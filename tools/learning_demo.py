@@ -93,6 +93,10 @@ def build_data(root: Path, n_train: int = 16, n_val: int = 6, hw: int = 96):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", choices=["deeplab", "m2f"], default="deeplab")
+    ap.add_argument("--backbone", default=None,
+                    help="m2f backbone override, e.g. swin_tiny — executes the "
+                         "Swin fine-tune path (drop-path + dropout rngs) "
+                         "through the REAL two-stage recipe")
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
@@ -136,9 +140,13 @@ def main():
             TrainM2FOOD, copy_class_embed_to_ood)
 
         cfg.model.m2f.train_num_points = 256
+        kw = {}
+        if args.backbone:
+            kw["backbone"] = args.backbone
+            cfg.model.m2f.backbone = args.backbone
         model = MaskFormer(num_classes=19, hidden_dim=32, num_queries=24,
                            nheads=4, dim_feedforward=64, dec_layers=3,
-                           mask_dim=32, transformer_enc_layers=1)
+                           mask_dim=32, transformer_enc_layers=1, **kw)
         trainer = TrainM2FOOD(cfg, model=model)
         # the reference initializes the OOD head by weight copy (stage 1
         # trains class_embed2 only, so it must start from class_embed)
