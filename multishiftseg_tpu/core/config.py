@@ -156,6 +156,11 @@ class TrainConfig:
     seed: int = 0
     num_devices: int = 0  # 0 = all local devices
     checkpoint_every: int = 1
+    # tensor parallelism: size of the mesh's model axis; kernels whose trailing
+    # (channel) dim >= model_parallel_min_size shard over it, and so do their
+    # Adam moments / BN stats (core/mesh.py::tensor_parallel_shardings)
+    model_parallel: int = 1
+    model_parallel_min_size: int = 1024
 
 
 @dataclass

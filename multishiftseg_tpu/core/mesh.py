@@ -113,6 +113,14 @@ def shard_params(variables, mesh: Mesh, min_size: int = 1024):
         tensor_parallel_shardings(variables, mesh, min_size))
 
 
+def place_train_state(state, mesh: Mesh, min_size: int = 1024):
+    """Place a TrainState (any pytree) on the mesh: tensor-parallel shardings
+    when the model axis > 1 — the shape rule covers params, their Adam
+    moments, and BN stats alike — plain replication otherwise (model axis 1
+    makes this exactly ``device_put(state, replicated(mesh))``)."""
+    return jax.device_put(state, tensor_parallel_shardings(state, mesh, min_size))
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host pytree of arrays onto the mesh, batch-sharded on axis 0."""
     def put(x):
@@ -128,15 +136,19 @@ def host_cpu_mesh(n: int = 8) -> Mesh:
     return make_mesh(devices=cpus[:n])
 
 
-def fit_mesh_to_batch(global_batch: int, num_devices: int = 0) -> Mesh:
-    """Data mesh over the largest device count that divides the global batch."""
-    n = num_devices or len(jax.devices())
+def fit_mesh_to_batch(global_batch: int, num_devices: int = 0,
+                      model_parallel: int = 1) -> Mesh:
+    """(data, model) mesh whose data axis is the largest count that divides the
+    global batch, over ``model_parallel``-sized model groups."""
+    n = (num_devices or len(jax.devices())) // model_parallel
     while n > 1 and global_batch % n != 0:
         n -= 1
-    return make_mesh(num_devices=n)
+    return make_mesh(num_devices=n * model_parallel,
+                     model_parallel=model_parallel)
 
 
-def make_train_mesh(half_rows: int, num_devices: int = 0) -> Mesh:
+def make_train_mesh(half_rows: int, num_devices: int = 0,
+                    model_parallel: int = 1) -> Mesh:
     """The trainers' mesh, sized for the PAIRED [clean ‖ augmented] batch.
 
     ``half_rows`` is one half (``cfg.train.train_batch``). Single-process: the
@@ -148,7 +160,7 @@ def make_train_mesh(half_rows: int, num_devices: int = 0) -> Mesh:
     axis must divide ONE half — refuse otherwise (silent truncation would
     desynchronize the hosts' jit programs)."""
     if jax.process_count() > 1:
-        mesh = make_global_mesh()
+        mesh = make_global_mesh(model_parallel=model_parallel)
         n = mesh.shape[DATA_AXIS]
         if half_rows % n != 0:
             raise ValueError(
@@ -156,7 +168,7 @@ def make_train_mesh(half_rows: int, num_devices: int = 0) -> Mesh:
                 f"data axis ({n} devices over {jax.process_count()} hosts)"
             )
         return mesh
-    return fit_mesh_to_batch(2 * half_rows, num_devices)
+    return fit_mesh_to_batch(2 * half_rows, num_devices, model_parallel)
 
 
 def default_device_count(requested: int = 0) -> int:

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..core.config import Config
 from ..core.mesh import (
-    make_train_mesh, replicated, shard_batch, shard_global_batch,
+    make_train_mesh, place_train_state, shard_batch, shard_global_batch,
 )
 from ..data.anomaly import RoadAnomaly21
 from ..data.cityscapes import DiverseCityscapes
@@ -107,7 +107,8 @@ class TrainDeepLabOOD:
         # single-process: halves concatenated on host, data axis fits 2B rows;
         # multi-process: host-major global mesh, halves fed as separate global
         # arrays (in-jit concat), data axis must divide ONE half (core.mesh)
-        self.mesh = make_train_mesh(cfg.train.train_batch, cfg.train.num_devices)
+        self.mesh = make_train_mesh(cfg.train.train_batch, cfg.train.num_devices,
+                                    cfg.train.model_parallel)
         if cfg.train.train_batch % jax.process_count() != 0:
             raise ValueError(
                 f"train_batch {cfg.train.train_batch} not divisible by "
@@ -224,7 +225,8 @@ class TrainDeepLabOOD:
         )
         # replicate the state over the (possibly global) mesh so every host's jit
         # sees identically-placed inputs
-        state = jax.device_put(state, replicated(self.mesh))
+        state = place_train_state(state, self.mesh,
+                                  cfg.train.model_parallel_min_size)
         paired = jax.process_count() > 1
         train_step = make_train_step(self.model, tx, self.rcl_params, paired=paired)
 
@@ -235,7 +237,9 @@ class TrainDeepLabOOD:
                                   "batch_stats": state.batch_stats}
                 tx, opt_state = self._stage_optimizer(1)
                 state = state.replace(
-                    opt_state=jax.device_put(opt_state, replicated(self.mesh))
+                    opt_state=place_train_state(
+                        opt_state, self.mesh,
+                        cfg.train.model_parallel_min_size)
                 )
                 train_step = make_train_step(self.model, tx, self.rcl_params,
                                              paired=paired)

@@ -32,7 +32,8 @@ from PIL import Image
 
 from ..core.config import Config
 from ..core.mesh import (DATA_AXIS, fit_mesh_to_batch, make_global_mesh,
-                         replicated, shard_batch, shard_global_batch)
+                         place_train_state, shard_batch,
+                         shard_global_batch)
 from ..data.loader import Loader
 from ..data.mappers import (SegmentTargets, instance_to_targets,
                             panoptic_to_targets, remap_classes, rgb2id)
@@ -154,7 +155,8 @@ class TrainM2FInstance:
         # Multi-host: host-major global mesh, each host feeds its contiguous
         # batch slice (same contract as the OOD trainers, minus the halves).
         if jax.process_count() > 1:
-            self.mesh = make_global_mesh()
+            self.mesh = make_global_mesh(
+                model_parallel=cfg.train.model_parallel)
             n = self.mesh.shape[DATA_AXIS]
             if cfg.train.train_batch % n != 0:
                 raise ValueError(
@@ -163,7 +165,8 @@ class TrainM2FInstance:
                     f"{jax.process_count()} hosts)")
         else:
             self.mesh = fit_mesh_to_batch(cfg.train.train_batch,
-                                          cfg.train.num_devices)
+                                          cfg.train.num_devices,
+                                          cfg.train.model_parallel)
         self.local_batch = cfg.train.train_batch // jax.process_count()
         self.model = model or MaskFormer(
             num_classes=m.num_classes, backbone=m.backbone,
@@ -322,7 +325,8 @@ class TrainM2FInstance:
             opt_state=opt_state, step=jnp.zeros((), jnp.int32),
             rng=jax.random.PRNGKey(cfg.train.seed),
         )
-        state = jax.device_put(state, replicated(self.mesh))
+        state = place_train_state(state, self.mesh,
+                                  cfg.train.model_parallel_min_size)
 
         last_loss = float("nan")
         for epoch in range(start_epoch, cfg.train.n_epochs):

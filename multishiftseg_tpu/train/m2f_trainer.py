@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import Config
-from ..core.mesh import (make_train_mesh, replicated, shard_batch,
+from ..core.mesh import (make_train_mesh, place_train_state,
+                         shard_batch,
                          shard_global_batch)
 from ..data.anomaly import RoadAnomaly21
 from ..data.cityscapes import DiverseCityscapes
@@ -74,7 +75,8 @@ class TrainM2FOOD:
         # single-process: halves concatenated on host, data axis fits 2B rows;
         # multi-process: host-major global mesh, halves fed as separate global
         # arrays (in-jit concat), data axis must divide ONE half (core.mesh)
-        self.mesh = make_train_mesh(cfg.train.train_batch, cfg.train.num_devices)
+        self.mesh = make_train_mesh(cfg.train.train_batch, cfg.train.num_devices,
+                                    cfg.train.model_parallel)
         self._paired = jax.process_count() > 1
         if cfg.train.train_batch % jax.process_count() != 0:
             raise ValueError(
@@ -334,7 +336,8 @@ class TrainM2FOOD:
             opt_state=opt_state,
             step=jnp.zeros((), jnp.int32), rng=rng,
         )
-        state = jax.device_put(state, replicated(self.mesh))
+        state = place_train_state(state, self.mesh,
+                                  cfg.train.model_parallel_min_size)
         eval_step = self.make_eval_step()
 
         for epoch in range(start_epoch, cfg.train.n_epochs):
@@ -347,7 +350,9 @@ class TrainM2FOOD:
                     trainable_names=cfg.model.trainable_params_name_update or (".",),
                 )
                 state = state.replace(
-                    opt_state=jax.device_put(opt_state, replicated(self.mesh))
+                    opt_state=place_train_state(
+                        opt_state, self.mesh,
+                        cfg.train.model_parallel_min_size)
                 )
                 step_fn = self.make_stage2_step(tx, paired=self._paired)
                 log.warning("switched to stage-2 official loss + AdamW groups")

@@ -221,3 +221,39 @@ def test_eval_runner_tta(fake_data, tmp_path, monkeypatch):
     ev = OODEvaluator(cfg, fwd, {"RoadAnomaly21": fake_data["track"]}, tta=True)
     results = ev.test_all(("RoadAnomaly21",))
     assert "RoadAnomaly21" in results
+
+
+def test_deeplab_training_tensor_parallel(fake_data, tmp_path, monkeypatch):
+    """The REAL train loop with cfg.train.model_parallel=2: a (data, model)
+    mesh, large kernels + Adam moments + BN stats partitioned over the model
+    axis (place_train_state), checkpoint save/resume of the sharded state."""
+    from multishiftseg_tpu.train.deeplab_trainer import TrainDeepLabOOD
+
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config("/root/repo/exps/deeplab.yaml", exp_id="e2e_tp")
+    cfg.data.cityscapes_root = fake_data["cityscapes"]
+    cfg.data.generation_root = fake_data["generation"]
+    cfg.data.anomaly_track_root = fake_data["track"]
+    cfg.data.coco_root = str(tmp_path / "nonexistent_coco")
+    cfg.data.crop_size = (64, 64)
+    cfg.train.n_epochs = 2
+    cfg.train.warmup_epoch = -1
+    cfg.train.train_batch = 2
+    cfg.train.bf16 = False
+    cfg.train.model_parallel = 2
+    cfg.train.model_parallel_min_size = 64  # tiny trunk: shard the 64/128-ch convs
+    cfg.data.num_workers = 2
+    cfg.loss.params["num_pair_samples"] = 256
+
+    model = DeepWV3Plus(num_classes=19, **TINY_TRUNK)
+    trainer = TrainDeepLabOOD(cfg, model=model)
+    assert trainer.mesh.shape["model"] == 2
+    best = trainer.train()
+    assert best["AUPRC"] > -1
+    assert trainer.ckpt.exists("last")
+
+    # resume restores the full typed state through the TP placement path
+    trainer2 = TrainDeepLabOOD(cfg, model=model)
+    cfg.train.n_epochs = 3
+    best2 = trainer2.train(resume="last")
+    assert best2["AUPRC"] > -1
