@@ -22,6 +22,13 @@ sys.path.insert(0, str(Path(__file__).parent))
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: the 1024x2048 eval programs take minutes to
+# compile over the tunneled device transport; caching them makes repeat bench
+# runs (and the driver's round-end run) compile-free.
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 H, W = 1024, 2048
 # throughput batching: DeepLab gains ~1.6x from batch 4 (conv-tail amortization);
 # the gather-bound M2F is fastest at batch 1 (both measured on v5e).
@@ -138,8 +145,12 @@ def main():
     # secondary diagnostic so the driver's one-line contract stays intact.
     which = os.environ.get("BENCH_MODEL", "m2f")
     if which == "both":
-        print(json.dumps(run_one("deeplab")), file=sys.stderr)
+        print(json.dumps(run_one("deeplab")), file=sys.stderr, flush=True)
         which = "m2f"
+    # the headline line goes out FIRST (and flushed): compiles on the tunneled
+    # chip can take minutes, and a driver-side timeout must not lose the one
+    # stdout line to a pending secondary diagnostic
+    print(json.dumps(run_one(which)), flush=True)
     if which == "m2f" and os.environ.get("BENCH_DEFORM_MODE", "") == "":
         # secondary diagnostic: the accuracy-gated approximate sampling path
         # (PERF.md round-3; crosses the 10 img/s target at 11.3 img/s on v5e).
@@ -147,9 +158,7 @@ def main():
         os.environ["BENCH_DEFORM_MODE"] = "nearest"
         approx = run_one("m2f")
         approx["metric"] = approx["metric"].replace("m2f_", "m2f_approx_nearest_")
-        print(json.dumps(approx), file=sys.stderr)
-        os.environ["BENCH_DEFORM_MODE"] = "bilinear"
-    print(json.dumps(run_one(which)))
+        print(json.dumps(approx), file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

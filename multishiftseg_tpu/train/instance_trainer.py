@@ -359,10 +359,15 @@ class TrainM2FInstance:
         """COCO-protocol instance AP over a registered val split: per-image
         model forward -> ``instance_inference`` top-k mask extraction ->
         :class:`InstanceSegEvaluator` (the evaluator the reference ships but
-        never wires into an entry point, ``instance_evaluation.py:30``)."""
+        never wires into an entry point, ``instance_evaluation.py:30``).
+        The panoptic task additionally reports PQ/SQ/RQ (+ things/stuff
+        splits) via ``panoptic_inference`` -> :class:`PanopticEvaluator`."""
         from ..data.cityscapes import LABELS
         from ..evals.instance_metrics import InstanceSegEvaluator
-        from ..models.inference_extras import instance_inference
+        from ..evals.panoptic_metrics import (PanopticEvaluator,
+                                              targets_to_panoptic)
+        from ..models.inference_extras import (instance_inference,
+                                               panoptic_inference)
         from ..ops.resize import resize_bilinear_nchw
 
         d = self.cfg.data
@@ -389,6 +394,8 @@ class TrainM2FInstance:
                       if l.has_instances and not l.ignore_in_eval}
                      if self.task == "panoptic" else None)
         ev = InstanceSegEvaluator(m.num_classes)
+        pq_ev = (PanopticEvaluator(m.num_classes, thing_ids)
+                 if self.task == "panoptic" else None)
         n = len(ds) if max_images is None else min(len(ds), max_images)
         from ..data.loader import pad_to_multiple
         from ..data.mappers import segments_to_masks
@@ -399,11 +406,14 @@ class TrainM2FInstance:
             logits, masks = fwd(jnp.asarray(imgp[None]))
             masks_up = resize_bilinear_nchw(masks, imgp.shape[:2],
                                             align_corners=False)
-            pred = instance_inference(
-                np.asarray(logits[0], np.float32),
-                np.asarray(masks_up[0], np.float32)[:, :h, :w],
-                thing_ids=thing_ids,
-            )
+            cls_np = np.asarray(logits[0], np.float32)
+            mask_np = np.asarray(masks_up[0], np.float32)[:, :h, :w]
+            pred = instance_inference(cls_np, mask_np, thing_ids=thing_ids)
+            if pq_ev is not None:
+                pan_seg, seg_info = panoptic_inference(
+                    cls_np, mask_np, thing_ids=thing_ids)
+                pq_ev.process(pan_seg, seg_info,
+                              *targets_to_panoptic(id_map, classes))
             k = int((classes >= 0).sum())  # padded() keeps valid slots first
             gt_masks = segments_to_masks(id_map, k)
             gt_classes = classes[:k].astype(np.int64)
@@ -415,4 +425,8 @@ class TrainM2FInstance:
                  "scores": pred["scores"], "classes": pred["pred_classes"]},
                 {"masks": gt_masks, "classes": gt_classes},
             )
-        return ev.evaluate()
+        out = ev.evaluate()
+        if pq_ev is not None and out is not None:
+            pq = pq_ev.evaluate()
+            out.update({k: v for k, v in pq.items() if k != "PQ_per_class"})
+        return out

@@ -160,6 +160,16 @@ def test_panoptic_trainer_e2e(fake_panoptic_data, tmp_path, monkeypatch):
     result = trainer.train()
     assert np.isfinite(result["loss"])
 
+    # panoptic evaluation end-to-end: instance AP (things) + PQ/SQ/RQ with
+    # things/stuff splits (panoptic_inference -> PanopticEvaluator); random
+    # init, so only protocol sanity — gt classes are road (stuff) + person
+    # (thing), so both splits are populated
+    pq = trainer.evaluate(dataset_name="cityscapes_panoptic_train",
+                          max_images=2)
+    assert pq is not None
+    assert {"AP", "PQ", "SQ", "RQ", "PQ_th", "PQ_st", "n_classes"} <= set(pq)
+    assert 0.0 <= pq["PQ"] <= 1.0 and pq["n_classes"] >= 2
+
     # class map applied: raw 7 -> trainId 0 (road), raw 24 -> trainId 11 (person,
     # duplicated); thing flags from the raw thing ids
     ds = trainer.build_dataset()

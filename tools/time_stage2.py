@@ -6,6 +6,7 @@ on synthetic data at crop 700^2 -> padded 704^2 — the measurement behind
 PERF.md's stage-2 rows (1148 ms round 2; named-checkpoint remat round 3).
 
 Usage: python tools/time_stage2.py [--batch 4] [--iters 10]
+       python tools/time_stage2.py --cfg exps/m2f_swin_tiny.yaml   # swin recipes
 (batch counts TOTAL images per step: batch//2 clean + batch//2 generated.)
 """
 
@@ -25,6 +26,9 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--crop", type=int, default=700)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--cfg", default=None,
+                    help="experiment yaml (default exps/m2f.yaml; pass a "
+                         "m2f_swin_*.yaml to time the swin recipes)")
     args = ap.parse_args()
 
     from multishiftseg_tpu.core.config import load_config
@@ -33,8 +37,8 @@ def main():
     from multishiftseg_tpu.train.state import (TrainState,
                                                build_m2f_official_optimizer)
 
-    cfg = load_config(str(Path(__file__).parent.parent / "exps" / "m2f.yaml"),
-                      exp_id="time_stage2")
+    cfg_path = args.cfg or str(Path(__file__).parent.parent / "exps" / "m2f.yaml")
+    cfg = load_config(cfg_path, exp_id="time_stage2")
     cfg.data.crop_size = (args.crop, args.crop)
     cfg.train.train_batch = args.batch // 2  # per-half
     trainer = TrainM2FOOD(cfg)
