@@ -83,8 +83,12 @@ def mixup_generated(
     max_coeff: float = 0.3,
 ) -> np.ndarray:
     """Blend the clean image into the generated one with coefficient
-    min(U(0,1), 0.3) (reference cityscapes.py:160-163). uint8 in/out."""
+    min(U(0,1), 0.3) (reference cityscapes.py:160-163). uint8 in/out.
+
+    Value-identical to ``(p*image.astype(f32) + (1-p)*gen.astype(f32)).astype(u8)``
+    but with one temporary instead of three full-resolution ones — this runs
+    per sample on 2MP images in the loader's hot path."""
     p = min(rng.random(), max_coeff)
-    return (p * image.astype(np.float32) + (1 - p) * gen_image.astype(np.float32)).astype(
-        np.uint8
-    )
+    out = np.multiply(image, p, dtype=np.float32)
+    out += np.multiply(gen_image, 1 - p, dtype=np.float32)
+    return out.astype(np.uint8)

@@ -52,6 +52,9 @@ class Loader:
         seeded global shuffle, the global batch is ``batch_size * shard_count``
         samples, and this host fetches only its contiguous ``batch_size`` slice —
         host-major, matching ``make_global_mesh``'s data-axis layout."""
+        from ..utils import tune_host_allocator
+
+        tune_host_allocator()  # batch-sized allocs must not re-fault per step
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle

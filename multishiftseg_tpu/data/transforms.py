@@ -68,7 +68,9 @@ class ToTensor:
         def img(x):
             x = np.asarray(x)
             if x.dtype == np.uint8:
-                x = x.astype(np.float32) / 255.0
+                # single fused pass (value-identical to astype(f32)/255.0:
+                # the ufunc promotes then divides in f32)
+                return np.divide(x, np.float32(255), dtype=np.float32)
             return x.astype(np.float32)
 
         def mask(m):

@@ -144,9 +144,16 @@ class TrainDeepLabOOD:
 
     def build_datasets(self):
         d = self.cfg.data
+        # Crop FIRST: RandCrop is a pure pixel selection at this recipe's
+        # geometry (2048x1024 images >> 700^2 crops, so its resize-if-small
+        # branch never fires), and ToTensor/Normalize are pixel-wise — the
+        # composition is value-identical to the reference order
+        # [ToTensor, RandCrop, Normalize] while running the float conversion
+        # on 0.49MP crops instead of 2MP full frames (the loader's host cost
+        # dominates a 1-core feeder; see PERF.md host-pipeline section).
         train_tf = Compose([
-            ToTensor(),
             RandCrop(size=tuple(d.crop_size)),
+            ToTensor(),
             Normalize(mean=d.mean, std=d.std),
         ])
         test_tf = Compose([ToTensor(), Normalize(mean=d.mean, std=d.std)])

@@ -219,6 +219,9 @@ def main():
                              "(single-image latency scaling; 0 = off)")
     args = parser.parse_args()
 
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()  # whole-image eval programs compile in minutes
     logging.basicConfig(level=logging.INFO)
     cfg = load_config(args.cfg, args.id)
     build = build_deeplab_forward if args.model == "deeplab" else build_m2f_forward

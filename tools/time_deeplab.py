@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
+    from multishiftseg_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     from multishiftseg_tpu.core.config import load_config
     from multishiftseg_tpu.core.mesh import replicated, shard_global_batch
     from multishiftseg_tpu.train.deeplab_trainer import (TrainDeepLabOOD,

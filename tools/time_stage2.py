@@ -31,6 +31,9 @@ def main():
                          "m2f_swin_*.yaml to time the swin recipes)")
     args = ap.parse_args()
 
+    from multishiftseg_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     from multishiftseg_tpu.core.config import load_config
     from multishiftseg_tpu.core.mesh import replicated, shard_global_batch
     from multishiftseg_tpu.train.m2f_trainer import TrainM2FOOD
