@@ -26,7 +26,9 @@ def main():
 
     from ..core.config import load_config
     from ..core.mesh import initialize_distributed
+    from ..utils import enable_compilation_cache
 
+    enable_compilation_cache()  # full-scale programs take minutes to compile
     initialize_distributed()  # no-op single-process; joins a pod when launched multi-host
     cfg = load_config(args.cfg, args.id)
     cfg.train.seed = args.seed
@@ -43,9 +45,10 @@ def main():
 
     if args.model == "deeplab":
         from .deeplab_trainer import TrainDeepLabOOD as Trainer
-    elif cfg.model.m2f.instance_on or cfg.model.m2f.panoptic_on:
-        # the instance/panoptic config family routes to the vanilla-decoder
-        # per-segment-target trainer (no OOD machinery)
+    elif (cfg.model.m2f.instance_on or cfg.model.m2f.panoptic_on
+          or not cfg.model.m2f.ood_finetune):
+        # the vanilla config family (semantic with ood_finetune off, instance,
+        # panoptic) routes to the per-segment-target trainer (no OOD machinery)
         from .instance_trainer import TrainM2FInstance as Trainer
     else:
         from .m2f_trainer import TrainM2FOOD as Trainer

@@ -1,11 +1,12 @@
-"""Vanilla Mask2Former instance / panoptic segmentation trainer.
+"""Vanilla Mask2Former semantic / instance / panoptic segmentation trainer.
 
-The reference ships the full instance/panoptic detectron2 config family
-(``configs/mask2former-cityscapes/{instance,panoptic}-segmentation/``) but no
-entry point ever exercises it (SURVEY §2.2 — the OOD trainers hardcode
+The reference ships the full vanilla detectron2 config family
+(``configs/mask2former-cityscapes/{semantic,instance,panoptic}-segmentation/``)
+but no entry point ever exercises it (SURVEY §2.2 — the OOD trainers hardcode
 ``anomaly_ft.yaml``). This framework closes the loop: the
-``exps/m2f_{instance,panoptic}*.yaml`` configs select this trainer (via
-``train.cli`` on the ``instance_on`` / ``panoptic_on`` switches), which feeds
+``exps/m2f_{semantic,instance,panoptic}*.yaml`` configs select this trainer (via
+``train.cli`` on the ``instance_on`` / ``panoptic_on`` / ``not ood_finetune``
+switches), which feeds
 :mod:`multishiftseg_tpu.data.mappers` per-segment targets — duplicate classes
 allowed, exactly the reference ``prepare_targets`` semantics
 (``maskformer_model.py:316-339``) — into
@@ -36,7 +37,8 @@ from ..core.mesh import (DATA_AXIS, fit_mesh_to_batch, make_global_mesh,
                          shard_global_batch)
 from ..data.loader import Loader
 from ..data.mappers import (SegmentTargets, instance_to_targets,
-                            panoptic_to_targets, remap_classes, rgb2id)
+                            panoptic_to_targets, remap_classes, rgb2id,
+                            semantic_to_targets)
 from ..data.registry import DatasetCatalog, MetadataCatalog
 from ..data.transforms import (Compose, Normalize, RandCrop, RandHorizontalFlip,
                                Sample, ToTensor)
@@ -88,8 +90,10 @@ class InstanceDataset:
 
     ``task`` follows the registry metadata: 'instance' reads Cityscapes-style
     ``instanceIds`` pngs (``class_id * divisor + instance``); 'panoptic' reads
-    COCO-panoptic RGB id pngs + per-record ``segments_info``. Geometry transforms
-    run on the raw encoded id map (nearest-neighbour, id-preserving); targets are
+    COCO-panoptic RGB id pngs + per-record ``segments_info``; 'sem_seg' reads
+    plain label maps and emits one segment per present class (the reference
+    ``MaskFormerSemanticDatasetMapper`` target build). Geometry transforms run
+    on the raw encoded id map (nearest-neighbour, id-preserving); targets are
     built AFTER augmentation, like the reference mappers.
     """
 
@@ -98,7 +102,7 @@ class InstanceDataset:
         self.records = DatasetCatalog.get(name)
         self.meta = MetadataCatalog.get(name)
         self.task = self.meta.get("task", "instance")
-        assert self.task in ("instance", "panoptic"), self.task
+        assert self.task in ("instance", "panoptic", "sem_seg"), self.task
         self.transform = transform
         self.max_instances = max_instances
         self.seed = seed
@@ -118,6 +122,8 @@ class InstanceDataset:
                          np.float32) / 255.0
         if self.task == "instance":
             enc = np.asarray(Image.open(rec["instance_file_name"]), np.int32)
+        elif self.task == "sem_seg":
+            enc = np.asarray(Image.open(rec["sem_seg_file_name"]), np.int32)
         else:
             enc = rgb2id(np.asarray(
                 Image.open(rec["pan_seg_file_name"]).convert("RGB"))).astype(np.int32)
@@ -125,6 +131,9 @@ class InstanceDataset:
         if self.task == "instance":
             tgt = instance_to_targets(
                 s.mask, divisor=self.meta.get("id_divisor", 1000))
+        elif self.task == "sem_seg":
+            tgt = semantic_to_targets(
+                s.mask, ignore_label=self.meta.get("ignore_label", 255))
         else:
             tgt = drop_empty_segments(panoptic_to_targets(
                 s.mask, rec["segments_info"],
@@ -150,7 +159,8 @@ class TrainM2FInstance:
                  dataset_name: Optional[str] = None):
         self.cfg = cfg
         m = cfg.model.m2f
-        self.task = "panoptic" if m.panoptic_on else "instance"
+        self.task = ("panoptic" if m.panoptic_on
+                     else "instance" if m.instance_on else "semantic")
         # batches are NOT paired here — the data axis fits train_batch rows.
         # Multi-host: host-major global mesh, each host feeds its contiguous
         # batch slice (same contract as the OOD trainers, minus the halves).
@@ -195,7 +205,8 @@ class TrainM2FInstance:
         import os
 
         from ..data.registry import (register_instance_folder,
-                                     register_panoptic_folder)
+                                     register_panoptic_folder,
+                                     register_semantic_folder)
 
         from ..data.cityscapes import LABELS
 
@@ -206,7 +217,17 @@ class TrainM2FInstance:
         # the raw-id -> contiguous maps detectron2 keeps in dataset metadata:
         # things (hasInstances & !ignoreInEval) -> 0..7; panoptic raw id -> trainId
         thing_raw = [l.id for l in LABELS if l.has_instances and not l.ignore_in_eval]
-        if self.task == "instance":
+        if self.task == "semantic":
+            # labelTrainIds pngs are already contiguous train ids — no class_map
+            # (the reference's cityscapes_fine_sem_seg_{train,val} registration)
+            register_semantic_folder(
+                name,
+                image_dir=os.path.join(root, "leftImg8bit", split),
+                label_dir=os.path.join(root, "gtFine", split),
+                image_suffix="_leftImg8bit.png",
+                label_suffix="_gtFine_labelTrainIds.png",
+            )
+        elif self.task == "instance":
             register_instance_folder(
                 name,
                 image_dir=os.path.join(root, "leftImg8bit", split),
@@ -389,6 +410,10 @@ class TrainM2FInstance:
             out = model.apply(variables, img, train=False)
             return out["pred_logits"], out["pred_masks"]
 
+        n_eval = len(ds) if max_images is None else min(len(ds), max_images)
+        if self.task == "semantic":
+            return self._evaluate_semantic(ds, fwd, n_eval)
+
         # panoptic gt mixes stuff + things; instance AP scores things only
         thing_ids = ({l.train_id for l in LABELS
                       if l.has_instances and not l.ignore_in_eval}
@@ -396,7 +421,7 @@ class TrainM2FInstance:
         ev = InstanceSegEvaluator(m.num_classes)
         pq_ev = (PanopticEvaluator(m.num_classes, thing_ids)
                  if self.task == "panoptic" else None)
-        n = len(ds) if max_images is None else min(len(ds), max_images)
+        n = n_eval
         from ..data.loader import pad_to_multiple
         from ..data.mappers import segments_to_masks
 
@@ -430,3 +455,37 @@ class TrainM2FInstance:
             pq = pq_ev.evaluate()
             out.update({k: v for k, v in pq.items() if k != "PQ_per_class"})
         return out
+
+    def _evaluate_semantic(self, ds, fwd, n: int) -> Optional[Dict[str, float]]:
+        """Vanilla semantic task: mIoU / pixel accuracy over the val split.
+
+        Per-image semantic map = argmax of the standard mask-classification
+        inference einsum softmax(cls)[:, :K] x sigmoid(mask)
+        (``maskformer_model.py:341-347`` without the Mask2Anomaly concat); gt
+        reassembled from the segment targets (one segment per class)."""
+        from ..data.loader import pad_to_multiple
+        from ..data.mappers import SegmentTargets, targets_to_semantic
+        from ..evals.seg_metrics import compute_metric, hist_info
+        from ..ops.resize import resize_bilinear_nchw
+
+        num_classes = self.cfg.model.m2f.num_classes
+        results = []
+        for i in range(n):
+            img, id_map, classes = ds[i]
+            imgp, (h, w) = pad_to_multiple(img, 32)
+            logits, masks = fwd(jnp.asarray(imgp[None]))
+            masks_up = resize_bilinear_nchw(masks, imgp.shape[:2],
+                                            align_corners=False)
+            probs = jax.nn.softmax(logits[0].astype(jnp.float32), -1)[:, :-1]
+            sem = jnp.einsum("qc,qhw->chw", probs,
+                             jax.nn.sigmoid(masks_up[0].astype(jnp.float32)))
+            pred = np.asarray(jnp.argmax(sem, 0))[:h, :w]
+            k = int((classes >= 0).sum())
+            gt = targets_to_semantic(SegmentTargets(
+                id_map, classes[:k].astype(np.int64), np.zeros(k, bool)))
+            hist, labeled, correct = hist_info(num_classes, pred, gt)
+            results.append({"hist": hist, "labeled": labeled, "correct": correct})
+        if not results:
+            return None
+        miou, pacc = compute_metric(results, num_classes)
+        return {"mIoU": float(miou), "pixel_acc": float(pacc)}

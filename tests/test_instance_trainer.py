@@ -179,6 +179,74 @@ def test_panoptic_trainer_e2e(fake_panoptic_data, tmp_path, monkeypatch):
     assert img.shape == (64, 64, 3) and classes.shape == (8,)
 
 
+@pytest.fixture
+def fake_semantic_data(tmp_path):
+    """Cityscapes semantic layout: leftImg8bit pngs + gtFine labelTrainIds."""
+    rng = np.random.RandomState(2)
+    city = tmp_path / "cityscapes"
+    for split, n in (("train", 4), ("val", 2)):
+        img_dir = city / "leftImg8bit" / split / "aachen"
+        lab_dir = city / "gtFine" / split / "aachen"
+        img_dir.mkdir(parents=True)
+        lab_dir.mkdir(parents=True)
+        for i in range(n):
+            stem = f"aachen_{i:06d}_000019"
+            Image.fromarray((rng.rand(96, 96, 3) * 255).astype(np.uint8)).save(
+                img_dir / f"{stem}_leftImg8bit.png")
+            lab = rng.randint(0, 5, (96, 96)).astype(np.uint8)
+            lab[:10] = 255  # ignore band
+            Image.fromarray(lab).save(
+                lab_dir / f"{stem}_gtFine_labelTrainIds.png")
+    return str(city)
+
+
+def test_semantic_trainer_e2e(fake_semantic_data, tmp_path, monkeypatch):
+    """Vanilla semantic M2F (the reference's maskformer2_R50_bs16_90k family,
+    unwired there): ood_finetune False routes to TrainM2FInstance in the
+    semantic task — one segment per present class, plain loss_masks — and
+    evaluate() reports mIoU over the val split."""
+    from multishiftseg_tpu.data.registry import DatasetCatalog
+    from multishiftseg_tpu.models.maskformer import MaskFormer
+    from multishiftseg_tpu.train.instance_trainer import TrainM2FInstance
+
+    monkeypatch.chdir(tmp_path)
+    for split in ("train", "val"):
+        DatasetCatalog.remove(f"cityscapes_semantic_{split}")
+    cfg = load_config("/root/repo/exps/m2f_semantic.yaml", exp_id="sem_test")
+    cfg.data.cityscapes_root = fake_semantic_data
+    cfg.data.crop_size = (64, 64)
+    cfg.train.n_epochs = 1
+    cfg.train.train_batch = 2
+    cfg.train.bf16 = False
+    cfg.data.num_workers = 2
+    cfg.model.m2f.max_instances = 8  # padded T must stay <= the tiny model's Q
+
+    m = cfg.model.m2f
+    # the cli routing condition for the vanilla semantic family
+    assert m.semantic_on and not m.instance_on and not m.panoptic_on
+    assert not m.ood_finetune and m.num_classes == 19
+    model = MaskFormer(num_classes=m.num_classes, hidden_dim=32, num_queries=12,
+                       nheads=4, dim_feedforward=64, dec_layers=3, mask_dim=32,
+                       transformer_enc_layers=1, predictor=m.transformer_decoder)
+    trainer = TrainM2FInstance(cfg, model=model)
+    assert trainer.task == "semantic"
+
+    # dataset emits one segment per present class, ignore band excluded
+    ds = trainer.build_dataset()
+    img, id_map, classes = ds[0]
+    present = classes[classes >= 0]
+    assert 1 <= len(present) <= 5 and len(set(present)) == len(present)
+    assert img.shape == (64, 64, 3)
+
+    result = trainer.train()
+    assert np.isfinite(result["loss"])
+
+    miou = trainer.evaluate(max_images=2)
+    assert miou is not None and set(miou) >= {"mIoU", "pixel_acc"}
+    assert 0.0 <= miou["pixel_acc"] <= 1.0
+    assert np.isnan(miou["mIoU"]) or 0.0 <= miou["mIoU"] <= 1.0
+
+
 def test_drop_empty_segments():
     from multishiftseg_tpu.data.mappers import SegmentTargets
     from multishiftseg_tpu.train.instance_trainer import drop_empty_segments
