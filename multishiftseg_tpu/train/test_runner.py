@@ -60,11 +60,36 @@ class OODEvaluator:
     """Shared whole-image eval loop over the anomaly benchmarks."""
 
     def __init__(self, cfg: Config, forward_fn, dataset_roots: Dict[str, str],
-                 tta: bool = False):
-        """forward_fn(img [1,H,W,3] float) -> (anomaly [1,H,W], sem_logits or None)."""
+                 tta: bool = False, save_dir: Optional[str] = None):
+        """forward_fn(img [1,H,W,3] float) -> (anomaly [1,H,W], sem_logits or None).
+
+        ``save_dir``: if set, write per-image eval artifacts under
+        ``<save_dir>/<dataset>/`` — ``<stem>_anomaly.npy`` (float32 score map)
+        and ``<stem>_pred_color.png`` (train-id argmax colorized with the
+        Cityscapes palette, ``utils.map2citycolor``) — the visualization the
+        reference's ``map2citycolor``/``save_as_hdf5`` utils exist for
+        (``lib/utils/utils.py:70-87``) but never wire into its test scripts."""
         self.cfg = cfg
         self.forward_fn = tta_wrap(forward_fn) if tta else forward_fn
         self.roots = dataset_roots
+        self.save_dir = save_dir
+
+    def _save_outputs(self, name: str, image_path: str,
+                      anomaly: np.ndarray, sem: Optional[np.ndarray]) -> None:
+        import os
+
+        from PIL import Image
+
+        from ..utils import map2citycolor
+
+        out = os.path.join(self.save_dir, name)
+        os.makedirs(out, exist_ok=True)
+        stem = os.path.splitext(os.path.basename(image_path))[0]
+        np.save(os.path.join(out, f"{stem}_anomaly.npy"), anomaly)
+        if sem is not None:
+            pred = np.argmax(sem[:19], axis=0).astype(np.uint8)
+            Image.fromarray(map2citycolor(pred)).save(
+                os.path.join(out, f"{stem}_pred_color.png"))
 
     def _transform(self):
         d = self.cfg.data
@@ -104,12 +129,18 @@ class OODEvaluator:
                     imgs[j, : img.shape[0], : img.shape[1]] = img
                 anomaly, sem = self.forward_fn(jnp.asarray(imgs))
                 anomaly = np.asarray(anomaly, np.float32)
+                sem_np = (np.asarray(sem, np.float32)
+                          if self.save_dir is not None and sem is not None else None)
                 for j, item in enumerate(chunk):
                     h, w = item[0].shape[:2]
                     target = item[1]
                     eval_gt = item[3] if len(item) > 3 else None
                     scores.append(anomaly[j, :h, :w].reshape(-1))
                     gts.append(np.asarray(target).reshape(-1))
+                    if self.save_dir is not None:
+                        self._save_outputs(
+                            name, ds.images[idxs[s + j]], anomaly[j, :h, :w],
+                            None if sem_np is None else sem_np[j, :, :h, :w])
                     if eval_gt is not None and sem is not None:
                         pred = np.asarray(jnp.argmax(sem[j, :19, :h, :w], axis=0))
                         hists.append(dict(zip(("hist", "labeled", "correct"),
@@ -217,6 +248,9 @@ def main():
     parser.add_argument("--spatial", type=int, default=0, metavar="N",
                         help="shard each image's height over an N-device mesh "
                              "(single-image latency scaling; 0 = off)")
+    parser.add_argument("--save_outputs", default=None, metavar="DIR",
+                        help="write per-image anomaly score maps (.npy) and "
+                             "colorized predictions (.png) under DIR/<dataset>/")
     args = parser.parse_args()
 
     from ..utils import enable_compilation_cache
@@ -236,7 +270,7 @@ def main():
         "MUAD": d.muad_root,
         "ACDC_POC": d.acdc_root,
     }
-    ev = OODEvaluator(cfg, fwd, roots, tta=args.tta)
+    ev = OODEvaluator(cfg, fwd, roots, tta=args.tta, save_dir=args.save_outputs)
     default_names = DEFAULT_DATASETS if args.model == "deeplab" else DEFAULT_DATASETS_M2F
     names = (args.test_dataset,) if args.test_dataset else default_names
     results = ev.test_all(names)

@@ -97,12 +97,27 @@ def test_eval_runner_on_synthetic_dataset(fake_data, tmp_path, monkeypatch):
         score, logit = model.apply(variables, img, train=False)
         return score, logit.transpose(0, 3, 1, 2)
 
-    ev = OODEvaluator(cfg, fwd, {"RoadAnomaly21": fake_data["track"]})
+    ev = OODEvaluator(cfg, fwd, {"RoadAnomaly21": fake_data["track"]},
+                      save_dir=str(tmp_path / "outs"))
     results = ev.test_all(("RoadAnomaly21",))
     assert "RoadAnomaly21" in results
     r = results["RoadAnomaly21"]
     assert set(r) >= {"AUROC", "AUPRC", "FPR_TPR95"}
     assert 0.0 <= r["AUROC"] <= 1.0
+
+    # --save_outputs artifacts: an anomaly score map + colorized prediction
+    # per image, shaped like the un-padded input
+    import numpy as np
+    from PIL import Image
+
+    out_dir = tmp_path / "outs" / "RoadAnomaly21"
+    anoms = sorted(out_dir.glob("*_anomaly.npy"))
+    preds = sorted(out_dir.glob("*_pred_color.png"))
+    assert len(anoms) == len(preds) > 0
+    a = np.load(anoms[0])
+    with Image.open(preds[0]) as im:
+        assert im.size == (a.shape[1], a.shape[0]) and im.mode == "RGB"
+    assert a.dtype == np.float32 and np.isfinite(a).all()
 
 
 def test_m2f_two_stage_training_e2e(fake_data, tmp_path, monkeypatch):
