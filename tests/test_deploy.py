@@ -80,6 +80,29 @@ def test_export_serving_roundtrip_deeplab(tmp_path):
     _roundtrip(fwd, variables, tmp_path)
 
 
+def test_multiplatform_export(tmp_path):
+    """One artifact lowered for both cpu and tpu (TPU fleet + CPU canaries)
+    from a CPU-only host; still runnable here and unchanged numerically."""
+    model = DeepWV3Plus(num_classes=19, **TINY_TRUNK)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, 3)), train=False)
+
+    def fwd(variables, img):
+        score, logit = model.apply(variables, img, train=False)
+        return score, logit.transpose(0, 3, 1, 2)
+
+    exported = export_forward(fwd, variables, (1, 64, 64, 3),
+                              platforms=("cpu", "tpu"))
+    assert exported.platforms == ("cpu", "tpu")
+    prefix = str(tmp_path / "mp")
+    save_exported(exported, prefix + ".stablehlo")
+    img = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3), jnp.float32)
+    replay = load_exported(prefix + ".stablehlo").call(variables, img)
+    direct = jax.jit(fwd)(variables, img)
+    np.testing.assert_allclose(np.asarray(replay[0]), np.asarray(direct[0]),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_export_serving_roundtrip_m2f(tmp_path, monkeypatch):
     # the MSS_DEBUG_BOUNDS jax.debug.callback (suite-wide via conftest) is a
     # host callback — unserializable by design; production export runs with
