@@ -91,6 +91,48 @@ class StepTimer:
         return 1e3 * self.total_time / counted
 
 
+class ScalarWriter:
+    """Persistent scalar-curve logging: append-only CSV per run.
+
+    The reference creates a tensorboardX ``SummaryWriter``
+    (``train_deeplab.py:175``, ``plot_curves_multi`` :264-279) but barely
+    feeds it; here the per-epoch metrics land in a durable, dependency-free
+    artifact (``<dir>/scalars.csv``: step,tag,value rows) that pandas /
+    TensorBoard's CSV importer / a 5-line plot script can all consume.
+    Appends flush immediately so a preempted run loses nothing.
+    """
+
+    def __init__(self, log_dir: str, filename: str = "scalars.csv"):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, filename)
+        new = not os.path.exists(self.path)
+        self._f = open(self.path, "a")
+        if new:
+            self._f.write("step,tag,value\n")
+            self._f.flush()
+
+    def add_scalar(self, tag: str, value: float, step: int):
+        self._f.write(f"{int(step)},{tag},{float(value):.8g}\n")
+        self._f.flush()
+
+    def add_scalars(self, values: Dict[str, float], step: int):
+        for tag, v in values.items():
+            self.add_scalar(tag, v, step)
+
+    def read(self) -> Dict[str, list]:
+        """Parse back {tag: [(step, value), ...]} — for tests and plot tools."""
+        out: Dict[str, list] = defaultdict(list)
+        with open(self.path) as f:
+            next(f, None)
+            for line in f:
+                step, tag, value = line.rstrip("\n").split(",", 2)
+                out[tag].append((int(step), float(value)))
+        return dict(out)
+
+    def close(self):
+        self._f.close()
+
+
 @contextlib.contextmanager
 def profiler_trace(log_dir: str, enabled: bool = True) -> Iterator[None]:
     """Capture a jax.profiler device trace (viewable in TensorBoard / Perfetto)."""

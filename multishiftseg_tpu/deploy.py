@@ -40,18 +40,37 @@ log = logging.getLogger(__name__)
 _SEP = "/"
 
 
+_META_PREFIX = "__meta__" + _SEP
+
+
 def _flat_key(path) -> str:
     parts = []
     for p in path:
         key = getattr(p, "key", getattr(p, "idx", getattr(p, "name", None)))
-        parts.append(str(key))
+        key = str(key)
+        # '/' inside a collection/param name would be re-split into extra
+        # nesting levels by load_pytree_npz, silently reshaping the tree and
+        # failing only at exported.call time — refuse it at save time
+        if _SEP in key:
+            raise ValueError(
+                f"pytree path component {key!r} contains {_SEP!r}; "
+                "flat npz keys cannot round-trip it")
+        parts.append(key)
     return _SEP.join(parts)
 
 
-def save_pytree_npz(tree, path: str) -> None:
-    """Flatten a (nested-dict) pytree of arrays to a compressed ``.npz``."""
+def save_pytree_npz(tree, path: str, meta: Optional[dict] = None) -> None:
+    """Flatten a (nested-dict) pytree of arrays to a compressed ``.npz``.
+
+    ``meta``: optional flat dict of small arrays written under the reserved
+    ``__meta__/`` prefix (e.g. input normalization constants); ignored by
+    :func:`load_pytree_npz`, read back by :func:`load_npz_meta`.
+    """
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
-    np.savez_compressed(path, **{_flat_key(p): np.asarray(v) for p, v in flat})
+    arrs = {_flat_key(p): np.asarray(v) for p, v in flat}
+    for k, v in (meta or {}).items():
+        arrs[_META_PREFIX + k] = np.asarray(v)
+    np.savez_compressed(path, **arrs)
 
 
 def load_pytree_npz(path: str):
@@ -59,12 +78,21 @@ def load_pytree_npz(path: str):
     out: dict = {}
     with np.load(path) as z:
         for key in z.files:
+            if key.startswith(_META_PREFIX):
+                continue
             node = out
             *parents, leaf = key.split(_SEP)
             for p in parents:
                 node = node.setdefault(p, {})
             node[leaf] = jnp.asarray(z[key])
     return out
+
+
+def load_npz_meta(path: str) -> dict:
+    """Read the reserved ``__meta__/`` entries written beside the weights."""
+    with np.load(path) as z:
+        return {k[len(_META_PREFIX):]: np.asarray(z[k])
+                for k in z.files if k.startswith(_META_PREFIX)}
 
 
 def _abstract(tree):
@@ -113,12 +141,17 @@ class ServingModel:
     def __init__(self, artifact_prefix: str):
         self.exported = load_exported(artifact_prefix + ".stablehlo")
         self.variables = load_pytree_npz(artifact_prefix + ".npz")
+        self.meta = load_npz_meta(artifact_prefix + ".npz")
         # in_avals = (variables..., img); img is the last flat aval
         self.input_shape = tuple(self.exported.in_avals[-1].shape)
 
     def __call__(self, img: np.ndarray):
-        """img: [N, H, W, 3] float32, N <= exported batch, H/W <= exported
-        H/W. Returns (anomaly [N, H, W], sem or None) cropped to the input."""
+        """img: [N, H, W, 3] float32 RGB in [0, 1] (raw, NOT pre-normalized:
+        artifacts written by ``export_model`` bake the training mean/std
+        normalization into the program — the constants travel in the npz under
+        ``__meta__/input_{mean,std}`` for provenance). N <= exported batch,
+        H/W <= exported H/W. Returns (anomaly [N, H, W], sem or None) cropped
+        to the input."""
         n, h, w = img.shape[:3]
         bn, bh, bw = self.input_shape[:3]
         if n > bn or h > bh or w > bw:
@@ -136,8 +169,30 @@ def export_model(model: str, cfg, weight_path: Optional[str], out_prefix: str,
                  height: int, width: int, batch: int = 1,
                  platforms: Optional[Sequence[str]] = None) -> str:
     """Build the eval forward exactly as the test runner does, export it at the
-    given static bucket shape, and write the two serving artifacts."""
+    given static bucket shape, and write the two serving artifacts.
+
+    The eval pipeline's input normalization (``OODEvaluator._transform``:
+    ``Normalize(cfg.data.mean, cfg.data.std)``) is BAKED into the exported
+    program — a server with only jax installed has no config system to recover
+    the constants from, so the artifact must be self-contained: it takes raw
+    [0, 1] images. The constants are also written to the npz under
+    ``__meta__/input_{mean,std}`` for provenance.
+    """
+    import os
+
+    # the MSS_DEBUG_BOUNDS gather/scatter check is a jax.debug.callback — host
+    # callbacks cannot serialize, and the failure would otherwise surface as a
+    # cryptic error deep inside exported.serialize()
+    if os.environ.get("MSS_DEBUG_BOUNDS") == "1":
+        raise RuntimeError(
+            "export_model cannot serialize with MSS_DEBUG_BOUNDS=1: the debug "
+            "bounds check is a host callback (jax.debug.callback), which "
+            "jax.export cannot serialize. Unset MSS_DEBUG_BOUNDS and re-run.")
+
     from .train import test_runner as tr
+
+    mean = jnp.asarray(cfg.data.mean, jnp.float32)
+    std = jnp.asarray(cfg.data.std, jnp.float32)
 
     if model == "deeplab":
         from .train.deeplab_trainer import TrainDeepLabOOD
@@ -145,6 +200,7 @@ def export_model(model: str, cfg, weight_path: Optional[str], out_prefix: str,
         trainer = TrainDeepLabOOD(cfg, weight_path)
 
         def fwd(variables, img):
+            img = (img - mean) / std
             score, logit = trainer.model.apply(variables, img, train=False)
             return score, logit.transpose(0, 3, 1, 2)
 
@@ -156,6 +212,7 @@ def export_model(model: str, cfg, weight_path: Optional[str], out_prefix: str,
         num_classes = trainer.model.num_classes
 
         def fwd(variables, img):
+            img = (img - mean) / std
             outputs = trainer.model.apply(variables, img, train=False)
             sem, anomaly = inference(outputs, img.shape[1:3],
                                      num_classes=num_classes)
@@ -165,7 +222,10 @@ def export_model(model: str, cfg, weight_path: Optional[str], out_prefix: str,
     exported = export_forward(fwd, trainer.variables, (batch, bh, bw, 3),
                               platforms=platforms)
     save_exported(exported, out_prefix + ".stablehlo")
-    save_pytree_npz(trainer.variables, out_prefix + ".npz")
+    save_pytree_npz(trainer.variables, out_prefix + ".npz",
+                    meta={"input_mean": np.asarray(cfg.data.mean, np.float32),
+                          "input_std": np.asarray(cfg.data.std, np.float32),
+                          "normalization_baked": np.asarray(1, np.int32)})
     log.info("exported %s @ (%d, %d, %d, 3) for %s -> %s.{stablehlo,npz}",
              model, batch, bh, bw, exported.platforms, out_prefix)
     return out_prefix

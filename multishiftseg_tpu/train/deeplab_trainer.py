@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import Config
+from ..core.logging import ScalarWriter
 from ..core.mesh import (
     make_train_mesh, place_train_state, shard_batch, shard_global_batch,
 )
@@ -182,6 +183,11 @@ class TrainDeepLabOOD:
 
     def train(self, start_epoch: int = 0, resume: Optional[str] = None):
         cfg = self.cfg
+        # persistent scalar curves (ckpts/<id>/scalars.csv) — the durable
+        # replacement for the reference's tensorboardX writer
+        # (train_deeplab.py:175); process 0 only under multi-host
+        writer = (ScalarWriter(cfg.model_dir)
+                  if cfg.model_dir and jax.process_index() == 0 else None)
         train_ds, val_ds = self.build_datasets()
         # Each host loads only its contiguous slice of the globally-shuffled batch
         # (the local_batch_slice contract; host-major mesh keeps rows local).
@@ -283,6 +289,13 @@ class TrainDeepLabOOD:
 
             metrics = self.valid(state, val_ds)
             log.warning("epoch %d %s", epoch, metrics)
+            if writer is not None:
+                writer.add_scalars({"train/loss": float(loss),
+                                    "train/img_per_s": n_img / max(dt, 1e-9)},
+                                   epoch)
+                if metrics:
+                    writer.add_scalars(
+                        {f"val/{k}": float(v) for k, v in metrics.items()}, epoch)
             if metrics and metrics["AUPRC"] > self.best["AUPRC"]:
                 self.best["AUPRC"] = metrics["AUPRC"]
                 # orbax save is a COLLECTIVE under multi-host (sync barrier in

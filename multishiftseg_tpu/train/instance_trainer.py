@@ -32,6 +32,7 @@ import numpy as np
 from PIL import Image
 
 from ..core.config import Config
+from ..core.logging import ScalarWriter
 from ..core.mesh import (DATA_AXIS, fit_mesh_to_batch, make_global_mesh,
                          place_train_state, shard_batch,
                          shard_global_batch)
@@ -349,6 +350,8 @@ class TrainM2FInstance:
         state = place_train_state(state, self.mesh,
                                   cfg.train.model_parallel_min_size)
 
+        writer = (ScalarWriter(cfg.model_dir)  # scalars.csv; see deeplab_trainer
+                  if cfg.model_dir and jax.process_index() == 0 else None)
         last_loss = float("nan")
         for epoch in range(start_epoch, cfg.train.n_epochs):
             ds.set_epoch(epoch)
@@ -367,6 +370,8 @@ class TrainM2FInstance:
             last_loss = float(loss)
             log.warning("epoch %d loss %.4f (%.1f img/s)", epoch, last_loss,
                         n_img / max(time.time() - t0, 1e-9))
+            if writer is not None:
+                writer.add_scalar("train/loss", last_loss, epoch)
             self.ckpt.save("last", params=state.params,
                            batch_stats=state.batch_stats,
                            opt_state=state.opt_state, epoch=epoch)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 import time
 from typing import Any, Dict, Optional
 
@@ -26,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import Config
+from ..core.logging import ScalarWriter
 from ..core.mesh import (make_train_mesh, place_train_state,
                          shard_batch,
                          shard_global_batch)
@@ -115,6 +117,9 @@ class TrainM2FOOD:
             mask_loss_with_pixel_selection=(
                 cfg.model.mask2anomaly.mask_loss_with_pixel_selection
             ),
+            # accuracy-gated opt-in (like MSS_BF16_SCATTER): approximate
+            # point-selection top-k via the TPU bucketed approx_min_k
+            approx_point_topk=os.environ.get("MSS_APPROX_POINTS", "") == "1",
         )
         self.best: Dict[str, float] = {"AUPRC": -1.0}
         self.ckpt = CheckpointManager(cfg.model_dir)
@@ -273,6 +278,9 @@ class TrainM2FOOD:
 
     def train(self, start_epoch: int = 0, resume: Optional[str] = None):
         cfg = self.cfg
+        # persistent scalar curves (ckpts/<id>/scalars.csv; see deeplab_trainer)
+        writer = (ScalarWriter(cfg.model_dir)
+                  if cfg.model_dir and jax.process_index() == 0 else None)
         train_ds, val_ds = self.build_datasets()
         loader = Loader(
             train_ds, batch_size=self.local_batch, shuffle=True, drop_last=True,
@@ -380,6 +388,12 @@ class TrainM2FOOD:
 
             metrics = self.valid(state, val_ds, eval_step)
             log.warning("epoch %d %s", epoch, metrics)
+            if writer is not None:
+                writer.add_scalars({"train/loss": float(loss), "stage": stage},
+                                   epoch)
+                if metrics:
+                    writer.add_scalars(
+                        {f"val/{k}": float(v) for k, v in metrics.items()}, epoch)
             if metrics and metrics["AUPRC"] > self.best["AUPRC"]:
                 self.best["AUPRC"] = metrics["AUPRC"]
                 # collective save: every host must call it (see deeplab_trainer)

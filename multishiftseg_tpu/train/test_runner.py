@@ -75,7 +75,8 @@ class OODEvaluator:
         self.save_dir = save_dir
 
     def _save_outputs(self, name: str, image_path: str,
-                      anomaly: np.ndarray, sem: Optional[np.ndarray]) -> None:
+                      anomaly: np.ndarray, sem: Optional[np.ndarray],
+                      root: Optional[str] = None) -> None:
         import os
 
         from PIL import Image
@@ -84,7 +85,18 @@ class OODEvaluator:
 
         out = os.path.join(self.save_dir, name)
         os.makedirs(out, exist_ok=True)
-        stem = os.path.splitext(os.path.basename(image_path))[0]
+        # key artifacts by the dataset-relative path (os.sep -> '_'), not the
+        # basename: per-city/per-sequence layouts repeat basenames across
+        # subdirectories and would silently overwrite each other's outputs
+        rel = image_path
+        if root:
+            try:
+                r = os.path.relpath(image_path, root)
+                if not r.startswith(".."):
+                    rel = r
+            except ValueError:
+                pass
+        stem = os.path.splitext(rel)[0].replace(os.sep, "_").lstrip("_")
         np.save(os.path.join(out, f"{stem}_anomaly.npy"), anomaly)
         if sem is not None:
             pred = np.argmax(sem[:19], axis=0).astype(np.uint8)
@@ -140,7 +152,8 @@ class OODEvaluator:
                     if self.save_dir is not None:
                         self._save_outputs(
                             name, ds.images[idxs[s + j]], anomaly[j, :h, :w],
-                            None if sem_np is None else sem_np[j, :, :h, :w])
+                            None if sem_np is None else sem_np[j, :, :h, :w],
+                            root=getattr(ds, "root", None))
                     if eval_gt is not None and sem is not None:
                         pred = np.asarray(jnp.argmax(sem[j, :19, :h, :w], axis=0))
                         hists.append(dict(zip(("hist", "labeled", "correct"),

@@ -11,9 +11,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 from multishiftseg_tpu.deploy import (
-    ServingModel, export_forward, load_exported, load_pytree_npz,
-    save_exported, save_pytree_npz,
+    ServingModel, export_forward, export_model, load_exported, load_npz_meta,
+    load_pytree_npz, save_exported, save_pytree_npz,
 )
 from multishiftseg_tpu.models.deeplab import DeepWV3Plus
 from multishiftseg_tpu.models.maskformer import MaskFormer, inference
@@ -38,6 +40,32 @@ def test_pytree_npz_roundtrip(tmp_path):
     assert [k for k, _ in flat_a] == [k for k, _ in flat_b]
     for (_, a), (_, b) in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_npz_meta_and_separator_guard(tmp_path):
+    """Reserved __meta__/ entries ride beside the weights without disturbing
+    the pytree, and a '/' inside a param name is refused at save time (it
+    would silently re-split into extra nesting on load)."""
+    tree = {"params": {"w": np.ones(3, np.float32)}}
+    p = str(tmp_path / "m.npz")
+    save_pytree_npz(tree, p, meta={"input_mean": np.asarray([0.5, 0.5, 0.5]),
+                                   "normalization_baked": np.asarray(1)})
+    back = load_pytree_npz(p)
+    assert list(back) == ["params"] and list(back["params"]) == ["w"]
+    meta = load_npz_meta(p)
+    np.testing.assert_allclose(meta["input_mean"], [0.5, 0.5, 0.5])
+    assert int(meta["normalization_baked"]) == 1
+
+    with pytest.raises(ValueError, match="contains"):
+        save_pytree_npz({"a/b": np.zeros(1, np.float32)}, str(tmp_path / "bad.npz"))
+
+
+def test_export_model_debug_bounds_guard(monkeypatch, tmp_path):
+    """MSS_DEBUG_BOUNDS=1 must fail fast with an actionable message, not a
+    cryptic serialization error deep inside jax.export."""
+    monkeypatch.setenv("MSS_DEBUG_BOUNDS", "1")
+    with pytest.raises(RuntimeError, match="MSS_DEBUG_BOUNDS"):
+        export_model("deeplab", None, None, str(tmp_path / "x"), 64, 64)
 
 
 def _roundtrip(fwd, variables, tmp_path, h=48, w=40, bh=64, bw=64):

@@ -142,3 +142,21 @@ def test_instance_panoptic_exp_configs_load(tmp_path, monkeypatch):
         pixel_decoder=mm.pixel_decoder,
     )
     assert model.predictor == "vanilla" and model.num_classes == 8
+
+
+def test_scalar_writer_roundtrip(tmp_path):
+    """ScalarWriter: the durable scalar-curve artifact standing in for the
+    reference's (mostly unused) tensorboardX writer (train_deeplab.py:175)."""
+    from multishiftseg_tpu.core.logging import ScalarWriter
+
+    w = ScalarWriter(str(tmp_path))
+    w.add_scalar("train/loss", 1.5, 0)
+    w.add_scalars({"train/loss": 1.25, "val/AUPRC": 0.5}, 1)
+    w.close()
+    # appends across writer instances (resume-safe)
+    w2 = ScalarWriter(str(tmp_path))
+    w2.add_scalar("train/loss", 1.0, 2)
+    back = w2.read()
+    w2.close()
+    assert back["train/loss"] == [(0, 1.5), (1, 1.25), (2, 1.0)]
+    assert back["val/AUPRC"] == [(1, 0.5)]
