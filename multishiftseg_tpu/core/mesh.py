@@ -117,8 +117,20 @@ def place_train_state(state, mesh: Mesh, min_size: int = 1024):
     """Place a TrainState (any pytree) on the mesh: tensor-parallel shardings
     when the model axis > 1 — the shape rule covers params, their Adam
     moments, and BN stats alike — plain replication otherwise (model axis 1
-    makes this exactly ``device_put(state, replicated(mesh))``)."""
-    return jax.device_put(state, tensor_parallel_shardings(state, mesh, min_size))
+    makes this exactly ``device_put(state, replicated(mesh))``).
+
+    Multi-process: ``device_put`` of an array already committed to a local
+    device onto a GLOBAL sharding is a cross-host transfer, which the CPU/TPU
+    backends reject ("does not support cross-host device transfers") — so
+    leaves go through host buffers first. Every process holds identical values
+    (same seeded init / same restored checkpoint), so the host round-trip is
+    correct; it happens once per training run.
+    """
+    shardings = tensor_parallel_shardings(state, mesh, min_size)
+    if jax.process_count() > 1:
+        state = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if hasattr(x, "shape") else x, state)
+    return jax.device_put(state, shardings)
 
 
 def shard_batch(batch, mesh: Mesh):
