@@ -54,6 +54,13 @@ class CriterionConfig:
     # reference get_loss gate (criterion.py:420-425): pixel-selection ON selects
     # loss_masks_aug; OFF selects the plain uncertainty-sampled loss_masks.
     mask_loss_with_pixel_selection: bool = True
+    # Accuracy-gated opt-in (MSS_APPROX_POINTS=1 in the trainers): replace the
+    # exact top-k point selections (clean-BCE and uncertainty) with the TPU
+    # bucketed approx_min_k reduction (recall_target 0.95) — the approximate
+    # histogram-quantile-style selection lever for the stage-2 step (PERF.md
+    # round-4 A/B; exact remains the default). On CPU approx_min_k falls back
+    # to the exact reduction, so CPU tests exercise only the wiring.
+    approx_point_topk: bool = False
 
 
 def _corner_gather_labels(labels: jax.Array, coords: jax.Array):
@@ -151,7 +158,10 @@ def _clean_point_coords(
     logits = point_sample(pred_mask[None, :, :, None], coords[None])[0, :, 0]
     tgt = sample_class_points(labels[None], coords[None], class_id)[0]
     bce = jnp.maximum(logits, 0) - logits * tgt + jax.nn.softplus(-jnp.abs(logits))
-    _, idx = jax.lax.top_k(-bce, num_clean)
+    if cfg.approx_point_topk:
+        _, idx = jax.lax.approx_min_k(bce, num_clean)
+    else:
+        _, idx = jax.lax.top_k(-bce, num_clean)
     clean = coords[idx]
     rand = jax.random.uniform(k2, (num_rand, 2))
     return jnp.concatenate([clean, rand], axis=0)
@@ -174,7 +184,10 @@ def uncertain_point_coords(
     k1, k2 = jax.random.split(rng)
     coords = jax.random.uniform(k1, (num_sampled, 2))
     logits = point_sample(pred_mask[None, :, :, None], coords[None])[0, :, 0]
-    _, idx = jax.lax.top_k(-jnp.abs(logits), num_uncertain)
+    if cfg.approx_point_topk:
+        _, idx = jax.lax.approx_min_k(jnp.abs(logits), num_uncertain)
+    else:
+        _, idx = jax.lax.top_k(-jnp.abs(logits), num_uncertain)
     out = coords[idx]
     if num_rand > 0:
         out = jnp.concatenate([out, jax.random.uniform(k2, (num_rand, 2))], axis=0)

@@ -254,3 +254,32 @@ def test_instance_criterion_duplicate_classes(rng):
         np.testing.assert_array_equal(got[bi], cols)
     # the two duplicate-class instances matched to the two distinct mask queries
     assert set(got[0][:2]) == {0, 1}
+
+
+def test_approx_point_topk_grad_agreement(rng):
+    """MSS_APPROX_POINTS gate: the approximate point-selection top-k
+    (jax.lax.approx_min_k, recall 0.95 on TPU) must keep loss AND gradients in
+    close agreement with the exact selection — the same style of gate as
+    MSS_BF16_SCATTER. On CPU approx_min_k is exact, so this checks wiring +
+    establishes the agreement harness the TPU A/B (PERF.md round 4) reuses."""
+    outputs = _tiny_outputs(rng)
+    sem = _tiny_sem(rng)
+    rcl = RCLParams(ce_weights=(1.0, 1.0),
+                    inoutaug_contras_margins_tri=(0.7, 0.5, 0.2))
+
+    def total_fn(o, approx):
+        cfg = CriterionConfig(num_classes=5, num_points=64, ood_loss="RCL",
+                              approx_point_topk=approx)
+        t, _ = set_criterion(o, sem, jax.random.PRNGKey(0), cfg, rcl)
+        return t
+
+    t_exact, g_exact = jax.value_and_grad(lambda o: total_fn(o, False))(outputs)
+    t_appr, g_appr = jax.value_and_grad(lambda o: total_fn(o, True))(outputs)
+    assert np.isfinite(float(t_appr))
+    np.testing.assert_allclose(float(t_appr), float(t_exact), rtol=0.05)
+    for name in g_exact:
+        a = np.asarray(g_exact[name]).reshape(-1)
+        b = np.asarray(g_appr[name]).reshape(-1)
+        denom = np.linalg.norm(a) * np.linalg.norm(b)
+        cos = float(a @ b) / max(denom, 1e-12)
+        assert cos > 0.99, (name, cos)
