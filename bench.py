@@ -1,7 +1,9 @@
 """Headline benchmark: Mask2Former (R-50, Mask2Anomaly heads) whole-image eval at
 1024x2048 — images/sec/chip on the attached TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", dispersion...}.
+Secondary diagnostics go to stderr with a 'DIAG ' prefix so they cannot be
+mistaken for the headline by a last-JSON-line parser.
 
 Baseline context: the reference publishes no throughput numbers (SURVEY.md §6). The
 north-star target is >= 2x an A100 running the reference PyTorch eval path at
@@ -9,6 +11,15 @@ north-star target is >= 2x an A100 running the reference PyTorch eval path at
 this resolution (fp32 deformable encoder, per-image Python post-processing), so the
 target is 2 x 5 = 10 img/s/chip. ``vs_baseline`` = value / 10.0 (>= 1.0 means target
 met). Set BENCH_MODEL=deeplab for the DeepLab v3+ (WRN-38) eval benchmark instead.
+
+Headline mode: the production eval path uses APPROXIMATE nearest-corner
+deformable sampling (``--sample_mode nearest`` in the test runner), which is
+accuracy-qualified END-TO-END on a trained checkpoint — AUROC -0.07pt /
+AUPRC -0.22pt / FPR95 -0.08pt vs exact bilinear, inside the 0.5pt budget
+(outputs/r4/m2f_evidence.json; PERF.md round 4). The metric name carries the
+mode. The exact bilinear op (toolchain-bounded at ~6.8 img/s: 1.85 ns/index
+gather issue floor + XLA 4-pass roofline, PERF.md round 3) is reported as a
+DIAG line. Set BENCH_DEFORM_MODE=bilinear to make the exact op the headline.
 """
 
 import json
@@ -60,11 +71,11 @@ def _noise_like(variables, img):
 def bench_m2f():
     from multishiftseg_tpu.models.maskformer import MaskFormer, inference
 
-    # BENCH_DEFORM_MODE=nearest measures the approximate deformable-sampling
-    # eval path (accuracy-gated opt-in; the honest headline stays bilinear)
+    # Default headline = the qualified approximate nearest sampling (see module
+    # docstring); BENCH_DEFORM_MODE=bilinear measures the exact op instead.
     model = MaskFormer(
         num_classes=19, backbone="resnet50", dtype=jnp.bfloat16,
-        deform_sample_mode=os.environ.get("BENCH_DEFORM_MODE", "bilinear"),
+        deform_sample_mode=os.environ.get("BENCH_DEFORM_MODE", "nearest"),
     )
     img = jnp.zeros((BATCH, H, W, 3), jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(
@@ -78,7 +89,11 @@ def bench_m2f():
         sem, anomaly = inference(outputs, img.shape[1:3])
         return anomaly
 
-    return "m2f_r50_eval_1024x2048", fwd, variables, img
+    # the metric name carries the sampling mode — an approximate number must
+    # never masquerade as the exact op (and vice versa)
+    mode = model.deform_sample_mode
+    tag = "" if mode == "bilinear" else f"_approx_{mode}"
+    return f"m2f_r50{tag}_eval_1024x2048", fwd, variables, img
 
 
 def bench_deeplab():
@@ -168,13 +183,11 @@ def main():
     # stdout line to a pending secondary diagnostic
     print(json.dumps(run_one(which)), flush=True)
     if which == "m2f" and os.environ.get("BENCH_DEFORM_MODE", "") == "":
-        # secondary diagnostic: the accuracy-gated approximate sampling path
-        # (PERF.md round-3; crosses the 10 img/s target at 11.3 img/s on v5e).
-        # The stdout headline stays the exact reference-parity bilinear op.
-        os.environ["BENCH_DEFORM_MODE"] = "nearest"
-        approx = run_one("m2f")
-        approx["metric"] = approx["metric"].replace("m2f_", "m2f_approx_nearest_")
-        _diag(approx)
+        # secondary diagnostic: the EXACT bilinear reference-parity op
+        # (toolchain-bounded ~6.8 img/s ceiling, PERF.md round 3); the stdout
+        # headline is the qualified approximate nearest path (module docstring).
+        os.environ["BENCH_DEFORM_MODE"] = "bilinear"
+        _diag(run_one("m2f"))
 
 
 if __name__ == "__main__":

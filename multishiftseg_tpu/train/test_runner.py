@@ -229,12 +229,23 @@ def build_deeplab_forward(cfg: Config, weight_path: Optional[str],
 
 
 def build_m2f_forward(cfg: Config, weight_path: Optional[str],
-                      spatial_devices: int = 0):
+                      spatial_devices: int = 0, sample_mode: str = "bilinear"):
+    """``sample_mode``: 'bilinear' (exact, reference parity), 'nearest'
+    (approximate deformable sampling, ~1.9x faster eval on v5e), or 'int8'
+    (int8 deformable value table). Both fast paths are accuracy-qualified on a
+    trained checkpoint: AUROC/AUPRC/FPR95 deltas < 0.25pt vs bilinear
+    (outputs/r4/m2f_evidence.json; PERF.md round 4)."""
     from ..models.maskformer import inference
     from ..train.m2f_trainer import TrainM2FOOD
 
     trainer = TrainM2FOOD(cfg, weight_path)
     model, variables = trainer.model, trainer.variables
+    if sample_mode == "nearest":
+        model = model.clone(deform_sample_mode="nearest")
+    elif sample_mode == "int8":
+        model = model.clone(quantize_deform_table=True)
+    elif sample_mode != "bilinear":
+        raise ValueError(f"unknown sample_mode {sample_mode!r}")
     num_classes = model.num_classes
 
     def fwd(variables, img):
@@ -264,6 +275,12 @@ def main():
     parser.add_argument("--save_outputs", default=None, metavar="DIR",
                         help="write per-image anomaly score maps (.npy) and "
                              "colorized predictions (.png) under DIR/<dataset>/")
+    parser.add_argument("--sample_mode", default="bilinear",
+                        choices=["bilinear", "nearest", "int8"],
+                        help="m2f deformable sampling: bilinear = exact "
+                             "reference parity; nearest / int8 = qualified "
+                             "fast paths (deltas < 0.25pt on a trained "
+                             "checkpoint, outputs/r4/m2f_evidence.json)")
     args = parser.parse_args()
 
     from ..utils import enable_compilation_cache
@@ -271,8 +288,13 @@ def main():
     enable_compilation_cache()  # whole-image eval programs compile in minutes
     logging.basicConfig(level=logging.INFO)
     cfg = load_config(args.cfg, args.id)
-    build = build_deeplab_forward if args.model == "deeplab" else build_m2f_forward
-    fwd = build(cfg, args.weight_path, spatial_devices=args.spatial)
+    if args.model == "deeplab":
+        fwd = build_deeplab_forward(cfg, args.weight_path,
+                                    spatial_devices=args.spatial)
+    else:
+        fwd = build_m2f_forward(cfg, args.weight_path,
+                                spatial_devices=args.spatial,
+                                sample_mode=args.sample_mode)
 
     d = cfg.data
     roots = {
