@@ -73,9 +73,12 @@ def bench_m2f():
 
     # Default headline = the qualified approximate nearest sampling (see module
     # docstring); BENCH_DEFORM_MODE=bilinear measures the exact op instead.
+    # BENCH_INT8=1 additionally stores the deformable value table in int8
+    # (independently qualified; the two fast paths compose).
     model = MaskFormer(
         num_classes=19, backbone="resnet50", dtype=jnp.bfloat16,
         deform_sample_mode=os.environ.get("BENCH_DEFORM_MODE", "nearest"),
+        quantize_deform_table=os.environ.get("BENCH_INT8", "") == "1",
     )
     img = jnp.zeros((BATCH, H, W, 3), jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(
@@ -93,6 +96,8 @@ def bench_m2f():
     # never masquerade as the exact op (and vice versa)
     mode = model.deform_sample_mode
     tag = "" if mode == "bilinear" else f"_approx_{mode}"
+    if model.quantize_deform_table:
+        tag += "_int8"
     return f"m2f_r50{tag}_eval_1024x2048", fwd, variables, img
 
 

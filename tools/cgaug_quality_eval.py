@@ -119,6 +119,12 @@ def main():
     ap.add_argument("--n_train", type=int, default=48)
     ap.add_argument("--n_gen", type=int, default=16)
     ap.add_argument("--hw", type=int, nargs=2, default=(128, 256))
+    ap.add_argument("--base", type=int, default=32,
+                    help="backbone width of the compact backends (VERDICT r3 "
+                         "#5: scale capacity past the base=32 pass-rate "
+                         "plateau)")
+    ap.add_argument("--diffusion_steps", type=int, default=12,
+                    help="DDIM steps at generation time")
     args = ap.parse_args()
 
     import jax
@@ -141,7 +147,7 @@ def main():
     # --- train the seg-conditioned diffusion on the (image, color-label) pairs ---
     diff_params, diff_loss = TB.train_diffusion(
         str(city), str(work / "ckpt"), steps=args.steps, batch=8,
-        image_hw=(h, w), base=32, save_every=0, log_every=200,
+        image_hw=(h, w), base=args.base, save_every=0, log_every=200,
     )
     print(f"[{time.time()-t0:.0f}s] diffusion trained, loss={diff_loss:.4f}",
           file=sys.stderr)
@@ -156,14 +162,15 @@ def main():
         Image.fromarray((m * 255).astype(np.uint8)).save(mask_dir / f"m{i}.png")
     seg_params, seg_loss = TB.train_segmenter(
         str(work / "ckpt_seg"), mask_dir=str(mask_dir),
-        steps=max(400, args.steps // 2), batch=8, size=96, base=32, log_every=200,
+        steps=max(400, args.steps // 2), batch=8, size=96, base=args.base,
+        log_every=200,
     )
     print(f"[{time.time()-t0:.0f}s] segmenter trained, loss={seg_loss:.4f}",
           file=sys.stderr)
 
-    segmenter = JaxPromptableSegmenter(params=seg_params, base=32)
-    diffusion = JaxSegDiffusion((h, w), params=diff_params, base=32, steps=12,
-                                seed=0)
+    segmenter = JaxPromptableSegmenter(params=seg_params, base=args.base)
+    diffusion = JaxSegDiffusion((h, w), params=diff_params, base=args.base,
+                                steps=args.diffusion_steps, seed=0)
 
     # --- generation over held-out label layouts with BOTH filters ----------------
     gen_rng = np.random.default_rng(123)
