@@ -109,6 +109,11 @@ def main():
                          "Swin fine-tune path (drop-path + dropout rngs) "
                          "through the REAL two-stage recipe")
     ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--warmup", type=int, default=None,
+                    help="stage-1 epochs (default epochs//2). From-scratch "
+                         "backbones (no pretrained checkpoint) need a SHORT "
+                         "stage 1: it trains only the OOD classification head "
+                         "while every other parameter is random")
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--qualify_sampling", action="store_true",
                     help="m2f: after training, measure exact OOD metrics on "
@@ -127,6 +132,10 @@ def main():
 
     os.chdir(work)  # ckpts/<id> land in the workdir
 
+    from multishiftseg_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat runs reuse the compiled stage programs
+
     from multishiftseg_tpu.core.config import load_config
 
     cfg = load_config(str(REPO / "exps" / f"{args.model}.yaml"),
@@ -137,7 +146,8 @@ def main():
     cfg.data.coco_root = str(work / "no_coco")
     cfg.data.crop_size = (64, 64)
     cfg.train.n_epochs = args.epochs
-    cfg.train.warmup_epoch = max(args.epochs // 2, 1)
+    cfg.train.warmup_epoch = (args.warmup if args.warmup is not None
+                              else max(args.epochs // 2, 1))
     cfg.train.train_batch = 4
     cfg.train.lr = 1e-3  # tiny model, tiny data: faster than the 1e-4 recipe
     cfg.train.bf16 = False
