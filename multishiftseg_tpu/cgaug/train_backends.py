@@ -131,7 +131,16 @@ def train_segmenter(
 ):
     """Box-prompt -> mask training. With ``mask_dir`` (binary mask pngs), each
     sample pastes a real object mask at a random box; otherwise synthetic
-    rectangles (enough to learn the prompting mechanics)."""
+    rectangles (enough to learn the prompting mechanics).
+
+    The composite renders the object VISIBLY: background = smooth random color
+    field + texture, object pixels = a different random color + texture. The
+    pre-round-4 version drew pure-noise images with the target invisible, so
+    the model could only learn "fill the box" — which structurally caps the
+    SAM-IoU filter pass rate at the shape's box-fill fraction (a cross fills
+    ~55% of its box < the 0.7 gate). Visible objects make the task the one the
+    filter actually needs: segment the salient object inside the box.
+    """
     masks: List[np.ndarray] = []
     if mask_dir:
         for p in sorted(glob.glob(os.path.join(mask_dir, "**", "*.png"),
@@ -175,7 +184,17 @@ def train_segmenter(
                 target[y0:y1, x0:x1] = 1.0
             ys, xs_ = np.where(target > 0)
             box = np.asarray([xs_.min(), ys.min(), xs_.max(), ys.max()])
-            img = rng.rand(size, size, 3).astype(np.float32) * 2 - 1
+            bg = rng.rand(3).astype(np.float32) * 2 - 1
+            fg = rng.rand(3).astype(np.float32) * 2 - 1
+            # keep the colors separated so the object is actually visible
+            while float(np.abs(fg - bg).max()) < 0.4:
+                fg = rng.rand(3).astype(np.float32) * 2 - 1
+            img = (bg + rng.randn(size, size, 3).astype(np.float32)
+                   * rng.uniform(0.05, 0.3))
+            obj = (fg + rng.randn(size, size, 3).astype(np.float32)
+                   * rng.uniform(0.05, 0.3))
+            img = np.where(target[..., None] > 0, obj, img)
+            img = np.clip(img, -1.0, 1.0).astype(np.float32)
             xs.append(np.concatenate(
                 [img, _box_channel(size, size, box)[..., None]], -1))
             ts.append(target)
