@@ -91,6 +91,13 @@ class GenerationConfig:
     max_retries: int = 5
     ood_label_id: int = 254
     seed: int = 0
+    # pasted-object longer-side range in LABEL pixels. The defaults are the
+    # reference's absolute 200-500 px, calibrated to its 1024x2048 labels
+    # (~20-50% of image height). When generating at another resolution, scale
+    # them proportionally (e.g. h//5 .. h//2) — the absolute defaults applied
+    # to a miniature label would paste a larger-than-frame object.
+    paste_min_size: int = 200
+    paste_max_size: int = 500
 
 
 class MultiShiftGenerator:
@@ -139,7 +146,10 @@ class MultiShiftGenerator:
         ade_label, _ = cityscapes_to_ade20k(color_label)
         for attempt in range(self.cfg.max_retries):
             obj_mask, ood_name = self.anomaly_source.sample(self.rng)
-            pasted, anomaly_mask = paste_anomaly(ade_label, obj_mask, ood_name, self.rng)
+            pasted, anomaly_mask = paste_anomaly(
+                ade_label, obj_mask, ood_name, self.rng,
+                min_size=self.cfg.paste_min_size,
+                max_size=self.cfg.paste_max_size)
             prompt, domain = get_prompt(
                 self.cfg.weathers, self.cfg.places, self.rng, ood_name=ood_name
             )
@@ -215,6 +225,10 @@ def main(argv: Optional[Sequence[str]] = None):
                     help="M2F checkpoint for the anomaly-score gate "
                          "(reference: Mask2Anomaly at score >= -3.02)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--paste_min_size", type=int, default=200,
+                    help="pasted-object longer side, min px (reference's 200 "
+                         "assumes 1024x2048 labels; scale for other sizes)")
+    ap.add_argument("--paste_max_size", type=int, default=500)
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="[%(asctime)s] %(message)s")
@@ -242,7 +256,8 @@ def main(argv: Optional[Sequence[str]] = None):
     gen = MultiShiftGenerator(
         diffusion,
         ADE20KAnomalySource(args.ade_root),
-        GenerationConfig(seed=args.seed),
+        GenerationConfig(seed=args.seed, paste_min_size=args.paste_min_size,
+                         paste_max_size=args.paste_max_size),
         segmenter=segmenter,
         detector=detector,
     )

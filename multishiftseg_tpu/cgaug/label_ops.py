@@ -102,10 +102,15 @@ def paste_anomaly(
     anomaly_mask: np.ndarray,
     ood_class: str,
     rng: np.random.Generator,
+    min_size: int = 200,
+    max_size: int = 500,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Paste an anomaly of ADE20K class ``ood_class`` and return the pasted label +
-    final anomaly mask (recomputed from the label, like the reference)."""
+    final anomaly mask (recomputed from the label, like the reference).
+    ``min_size``/``max_size`` bound the pasted longer side in pixels (the
+    reference's 200-500 defaults assume 1024x2048 labels)."""
     rgb = ade20k_color(ood_class)
-    pasted = paste_on_road(label, anomaly_mask, rgb, rng)
+    pasted = paste_on_road(label, anomaly_mask, rgb, rng,
+                           min_size=min_size, max_size=max_size)
     final_mask = np.all(pasted == rgb, axis=-1).astype(np.uint8)
     return pasted, final_mask

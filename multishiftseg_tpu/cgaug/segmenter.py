@@ -82,7 +82,14 @@ class JaxPromptableSegmenter:
 
 
 def make_segmenter_train_step(model: PromptUNet, tx):
-    """Jitted BCE train step over ([B,H,W,4] inputs, [B,H,W] 0/1 targets)."""
+    """Jitted BCE + dice train step over ([B,H,W,4] inputs, [B,H,W] 0/1 targets).
+
+    Dice matters here: the filter gates on mask IoU (> 0.7 vs the pasted
+    label), and plain BCE is dominated by the easy background pixels — it
+    plateaus with soft, over-inclusive boundaries. The dice term optimizes the
+    overlap ratio the filter actually measures (same reasoning as the
+    reference criterion's mask losses, which pair BCE with dice:
+    ``mask2former/modeling/criterion.py`` loss_masks)."""
 
     @jax.jit
     def step(params, opt_state, x, target):
@@ -90,9 +97,14 @@ def make_segmenter_train_step(model: PromptUNet, tx):
             logits = model.apply({"params": p}, x)
             z = logits.astype(jnp.float32)
             # numerically stable sigmoid BCE
-            return jnp.mean(
+            bce = jnp.mean(
                 jnp.maximum(z, 0) - z * target + jnp.log1p(jnp.exp(-jnp.abs(z)))
             )
+            prob = jax.nn.sigmoid(z)
+            inter = jnp.sum(prob * target, axis=(1, 2))
+            denom = jnp.sum(prob, axis=(1, 2)) + jnp.sum(target, axis=(1, 2))
+            dice = 1.0 - jnp.mean((2.0 * inter + 1.0) / (denom + 1.0))
+            return bce + dice
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)

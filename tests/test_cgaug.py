@@ -40,6 +40,21 @@ def test_paste_on_road_places_object_on_road():
     assert 150 <= max(ys.max() - ys.min(), xs.max() - xs.min()) <= 500
 
 
+def test_paste_size_is_configurable():
+    """min/max paste sizes thread through paste_anomaly/GenerationConfig —
+    the reference's absolute 200-500px defaults assume 1024x2048 labels;
+    miniature protocols pass proportional bounds instead."""
+    from multishiftseg_tpu.cgaug.label_ops import paste_anomaly
+
+    ade, _ = cityscapes_to_ade20k(_city_label())
+    mask = np.zeros((50, 80), np.uint8)
+    mask[10:40, 20:60] = 1
+    rng = np.random.default_rng(0)
+    _, amask = paste_anomaly(ade, mask, "animal", rng, min_size=40, max_size=80)
+    ys, xs = np.where(amask)
+    assert 30 <= max(ys.max() - ys.min(), xs.max() - xs.min()) <= 80
+
+
 def test_get_prompt_composition():
     rng = np.random.default_rng(0)
     seen_plain = seen_domain = False

@@ -198,6 +198,62 @@ def test_train_backends_drivers(tmp_path):
     assert CheckpointManager(str(tmp_path / "out2")).exists("segmenter_last")
 
 
+def test_diffusion_training_palette_and_paste(tmp_path):
+    """Round-4 diffusion-training fixes: (a) training conditions on the
+    ADE20K-remapped palette — the palette ``MultiShiftGenerator.generate``
+    actually feeds at generation time — not raw Cityscapes colors; (b) the
+    anomaly paste augmentation composites an object cut-out into BOTH the
+    image (RGB pixels) and the label (its ADE class color), road-constrained,
+    so the diffusion learns to render the label colors the generation-time
+    ``paste_anomaly`` writes."""
+    from multishiftseg_tpu.cgaug import train_backends as TB
+    from multishiftseg_tpu.cgaug.label_ops import cityscapes_to_ade20k
+    from multishiftseg_tpu.cgaug.palettes import ade20k_color
+
+    city = tmp_path / "cs"
+    color = np.zeros((64, 128, 3), np.uint8)
+    color[:24] = (70, 130, 180)   # Cityscapes sky
+    color[24:] = (128, 64, 128)   # Cityscapes road
+    for i in range(2):
+        stem = f"aachen_{i:06d}_000019"
+        p = city / "leftImg8bit" / "train" / "aachen" / f"{stem}_leftImg8bit.png"
+        p.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(np.zeros((64, 128, 3), np.uint8)).save(p)
+        q = city / "gtFine" / "train" / "aachen" / f"{stem}_gtFine_color.png"
+        q.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(color).save(q)
+
+    # (a) the loader's label palette matches the generation-time remap
+    img_u8, lbl_u8 = TB._load_pair_u8(*TB.walk_color_pairs(str(city))[0], (64, 128))
+    expect, _ = cityscapes_to_ade20k(color)
+    assert (lbl_u8 == expect).all()
+    assert not (lbl_u8 == color).all()  # the remap actually changed colors
+
+    # (b) in-place paste: ADE class color into the label, RGB into the image,
+    # placed on (ADE-remapped) road pixels
+    rng = np.random.RandomState(3)
+    cut_mask = np.zeros((40, 40), np.uint8)
+    cut_mask[8:32, 8:32] = 1
+    cut_img = np.full((40, 40, 3), 200, np.uint8)
+    rgb = ade20k_color("sofa")
+    img2, lbl2 = img_u8.copy(), lbl_u8.copy()
+    TB._paste_training_anomaly(img2, lbl2, cut_img, cut_mask, rgb, rng)
+    pasted = np.all(lbl2 == rgb, axis=-1)
+    assert pasted.sum() > 20
+    assert (img2[pasted] == 200).all()
+    road_rgb = ade20k_color("road")
+    ys, _ = np.where(pasted)
+    assert np.all(expect[ys.max(), 0] == road_rgb)  # paste landed in the road band
+
+    # (c) the train step runs with the in-memory paste bank at paste_prob=1
+    _, loss = TB.train_diffusion(
+        str(city), str(tmp_path / "out"), steps=2, batch=2, image_hw=(32, 64),
+        base=16, save_every=0, log_every=10,
+        paste_bank=[(cut_img, cut_mask, rgb)], paste_prob=1.0,
+    )
+    assert np.isfinite(loss)
+
+
 def test_generation_e2e_with_pretrained_weight_stack(tmp_path):
     """MultiShiftGenerator.run() through the PRETRAINED-WEIGHT backend family at
     tiny configs (random init): SDControlNetGenerator (SD UNet + ControlNet

@@ -42,7 +42,7 @@ sys.path.insert(0, str(REPO / "tools"))
 import numpy as np
 from PIL import Image
 
-from cgaug_quality_eval import ShapeSource, synth_scene
+from cgaug_quality_eval import ShapeSource, build_paste_bank, synth_scene
 
 TINY_TRUNK = dict(
     trunk_structure=(1, 1, 1, 1, 1, 1),
@@ -243,10 +243,13 @@ def main():
     city = build_world(work, args.n_world, h, w)
     print(f"[{time.time()-t0:.0f}s] world: {args.n_world} scenes", file=sys.stderr)
 
-    # 2. backends ------------------------------------------------------------
+    # 2. backends (ADE-palette conditioning + anomaly-paste augmentation —
+    # the round-4 recipe that lifted the SAM-IoU pass rate past the 0.632
+    # plateau, see cgaug_quality_eval.build_paste_bank) ------------------------
     diff_params, _ = TB.train_diffusion(
         str(city), str(work / "ckpt"), steps=args.backend_steps, batch=8,
-        image_hw=(h, w), base=32, save_every=0, log_every=500)
+        image_hw=(h, w), base=32, save_every=0, log_every=500,
+        paste_bank=build_paste_bank())
     mask_dir = work / "masks"
     mask_dir.mkdir(exist_ok=True)
     src = ShapeSource()
@@ -269,7 +272,8 @@ def main():
     gen = MultiShiftGenerator(
         diffusion=diffusion, anomaly_source=src, segmenter=segmenter,
         detector=None, cfg=GenerationConfig(iou_threshold=0.7, max_retries=4,
-                                            seed=0))
+                                            seed=0, paste_min_size=h // 5,
+                                            paste_max_size=h // 2))
     gen_root = work / "generated"
     colors = [str(city / "gtFine" / "train" / "synth" / f"{s}_gtFine_color.png")
               for s in stems]
@@ -289,7 +293,8 @@ def main():
     gen2 = MultiShiftGenerator(
         diffusion=diffusion, anomaly_source=src, segmenter=segmenter,
         detector=None, cfg=GenerationConfig(iou_threshold=0.7, max_retries=4,
-                                            seed=99))
+                                            seed=99, paste_min_size=h // 5,
+                                            paste_max_size=h // 2))
     gen2.run([str(val_city / "gtFine" / "train" / "synth" / f"{s}_gtFine_color.png")
               for s in val_stems],
              [str(val_city / "gtFine" / "train" / "synth"

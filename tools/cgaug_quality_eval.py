@@ -112,6 +112,31 @@ class ShapeSource:
         return m, self.NAMES[int(rng.integers(0, len(self.NAMES)))]
 
 
+def build_paste_bank(seed: int = 11, per_class: int = 8):
+    """Anomaly-paste tuples for ``train_diffusion(paste_bank=...)``: shapes
+    rendered the way ``synth_scene`` renders scene classes (0.8*color + 30 +
+    texture). The generator pastes ADE class colors into the label at
+    generation time (``MultiShiftGenerator.generate``); a diffusion trained
+    only on anomaly-free scenes has never seen those colors and renders the
+    region indistinctly, capping the SAM-IoU pass rate — training pairs that
+    contain the paste extend the learned color->appearance rule to them."""
+    from multishiftseg_tpu.cgaug.palettes import ade20k_color
+
+    src = ShapeSource()
+    rng = np.random.default_rng(seed)
+    bank = []
+    for name in ShapeSource.NAMES:
+        rgb = ade20k_color(name)
+        for _ in range(per_class):
+            m, _ = src.sample(rng)
+            cut = np.clip(
+                rgb.astype(np.float32) * 0.8 + 30
+                + rng.normal(0, 12, (*m.shape, 1)).astype(np.float32),
+                0, 255).astype(np.uint8)
+            bank.append((cut, m, rgb))
+    return bank
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("workdir", nargs="?", default="/tmp/cgaug_quality")
@@ -125,6 +150,18 @@ def main():
                          "plateau)")
     ap.add_argument("--diffusion_steps", type=int, default=12,
                     help="DDIM steps at generation time")
+    ap.add_argument("--paste_prob", type=float, default=0.5,
+                    help="per-sample probability of the anomaly paste "
+                         "augmentation during diffusion training")
+    ap.add_argument("--seg_steps", type=int, default=None,
+                    help="segmenter training steps (default: --steps // 2; "
+                         "the distractor task needs more to converge)")
+    ap.add_argument("--reuse_diffusion", action="store_true",
+                    help="restore the workdir's diffusion checkpoint instead "
+                         "of retraining (segmenter-side iteration)")
+    ap.add_argument("--reuse_segmenter", action="store_true",
+                    help="restore the workdir's segmenter checkpoint instead "
+                         "of retraining")
     args = ap.parse_args()
 
     import jax
@@ -144,29 +181,46 @@ def main():
         build_dataset(city, args.n_train, h, w)
     print(f"[{time.time()-t0:.0f}s] dataset ready", file=sys.stderr)
 
+    src = ShapeSource()
+    paste_bank = build_paste_bank()
+
     # --- train the seg-conditioned diffusion on the (image, color-label) pairs ---
-    diff_params, diff_loss = TB.train_diffusion(
-        str(city), str(work / "ckpt"), steps=args.steps, batch=8,
-        image_hw=(h, w), base=args.base, save_every=0, log_every=200,
-    )
-    print(f"[{time.time()-t0:.0f}s] diffusion trained, loss={diff_loss:.4f}",
-          file=sys.stderr)
+    from multishiftseg_tpu.train.checkpoint import CheckpointManager
+
+    if args.reuse_diffusion and CheckpointManager(
+            str(work / "ckpt")).exists("diffusion_last"):
+        diff_params = CheckpointManager(
+            str(work / "ckpt")).restore("diffusion_last")["params"]
+        print(f"[{time.time()-t0:.0f}s] diffusion restored", file=sys.stderr)
+    else:
+        diff_params, diff_loss = TB.train_diffusion(
+            str(city), str(work / "ckpt"), steps=args.steps, batch=8,
+            image_hw=(h, w), base=args.base, save_every=0, log_every=200,
+            paste_bank=paste_bank, paste_prob=args.paste_prob,
+        )
+        print(f"[{time.time()-t0:.0f}s] diffusion trained, loss={diff_loss:.4f}",
+              file=sys.stderr)
 
     # --- train the box-prompt segmenter on the same shape family -----------------
     mask_dir = work / "masks"
     mask_dir.mkdir(parents=True, exist_ok=True)
-    src = ShapeSource()
     rng = np.random.default_rng(7)
     for i in range(24):
         m, _ = src.sample(rng)
         Image.fromarray((m * 255).astype(np.uint8)).save(mask_dir / f"m{i}.png")
-    seg_params, seg_loss = TB.train_segmenter(
-        str(work / "ckpt_seg"), mask_dir=str(mask_dir),
-        steps=max(400, args.steps // 2), batch=8, size=96, base=args.base,
-        log_every=200,
-    )
-    print(f"[{time.time()-t0:.0f}s] segmenter trained, loss={seg_loss:.4f}",
-          file=sys.stderr)
+    if args.reuse_segmenter and CheckpointManager(
+            str(work / "ckpt_seg")).exists("segmenter_last"):
+        seg_params = CheckpointManager(
+            str(work / "ckpt_seg")).restore("segmenter_last")["params"]
+        print(f"[{time.time()-t0:.0f}s] segmenter restored", file=sys.stderr)
+    else:
+        seg_params, seg_loss = TB.train_segmenter(
+            str(work / "ckpt_seg"), mask_dir=str(mask_dir),
+            steps=args.seg_steps or max(400, args.steps // 2), batch=8, size=96,
+            base=args.base, log_every=200,
+        )
+        print(f"[{time.time()-t0:.0f}s] segmenter trained, loss={seg_loss:.4f}",
+              file=sys.stderr)
 
     segmenter = JaxPromptableSegmenter(params=seg_params, base=args.base)
     diffusion = JaxSegDiffusion((h, w), params=diff_params, base=args.base,
@@ -190,7 +244,11 @@ def main():
         segmenter=segmenter,
         detector=None,  # SAM-IoU-only run: no trained OOD detector offline
                         # (see the scope note in the module docstring)
-        cfg=GenerationConfig(iou_threshold=0.7, max_retries=4, seed=0),
+        # paste sizes proportional to the miniature labels — the same 20-50%
+        # of image height the reference's absolute 200-500px defaults span at
+        # its 1024x2048 scale (and the range the training paste samples)
+        cfg=GenerationConfig(iou_threshold=0.7, max_retries=4, seed=0,
+                             paste_min_size=h // 5, paste_max_size=h // 2),
     )
     # generation output in the DiverseCityscapes generation_root layout
     # (<root>/leftImg8bit/<split>/<city>/, <root>/gtFine/<split>/<city>/)
