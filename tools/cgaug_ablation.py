@@ -259,7 +259,7 @@ def main():
         Image.fromarray((m * 255).astype(np.uint8)).save(mask_dir / f"m{i}.png")
     seg_params, _ = TB.train_segmenter(
         str(work / "ckpt_seg"), mask_dir=str(mask_dir),
-        steps=max(400, args.backend_steps // 2), batch=8, size=96, base=32,
+        steps=max(400, args.backend_steps), batch=8, size=96, base=32,
         log_every=500)
     print(f"[{time.time()-t0:.0f}s] backends trained", file=sys.stderr)
 

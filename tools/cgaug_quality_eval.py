@@ -162,6 +162,9 @@ def main():
     ap.add_argument("--reuse_segmenter", action="store_true",
                     help="restore the workdir's segmenter checkpoint instead "
                          "of retraining")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="offsets the backend-training, generation, and "
+                         "val-scene seeds (replication / dispersion runs)")
     args = ap.parse_args()
 
     import jax
@@ -178,7 +181,7 @@ def main():
 
     city = work / "cityscapes"
     if not (city / "leftImg8bit").exists():
-        build_dataset(city, args.n_train, h, w)
+        build_dataset(city, args.n_train, h, w, seed=args.seed)
     print(f"[{time.time()-t0:.0f}s] dataset ready", file=sys.stderr)
 
     src = ShapeSource()
@@ -196,7 +199,7 @@ def main():
         diff_params, diff_loss = TB.train_diffusion(
             str(city), str(work / "ckpt"), steps=args.steps, batch=8,
             image_hw=(h, w), base=args.base, save_every=0, log_every=200,
-            paste_bank=paste_bank, paste_prob=args.paste_prob,
+            paste_bank=paste_bank, paste_prob=args.paste_prob, seed=args.seed,
         )
         print(f"[{time.time()-t0:.0f}s] diffusion trained, loss={diff_loss:.4f}",
               file=sys.stderr)
@@ -217,17 +220,17 @@ def main():
         seg_params, seg_loss = TB.train_segmenter(
             str(work / "ckpt_seg"), mask_dir=str(mask_dir),
             steps=args.seg_steps or max(400, args.steps // 2), batch=8, size=96,
-            base=args.base, log_every=200,
+            base=args.base, log_every=200, seed=args.seed,
         )
         print(f"[{time.time()-t0:.0f}s] segmenter trained, loss={seg_loss:.4f}",
               file=sys.stderr)
 
     segmenter = JaxPromptableSegmenter(params=seg_params, base=args.base)
     diffusion = JaxSegDiffusion((h, w), params=diff_params, base=args.base,
-                                steps=args.diffusion_steps, seed=0)
+                                steps=args.diffusion_steps, seed=args.seed)
 
     # --- generation over held-out label layouts with BOTH filters ----------------
-    gen_rng = np.random.default_rng(123)
+    gen_rng = np.random.default_rng(123 + args.seed)
     labels = []
     val = work / "val"
     val.mkdir(exist_ok=True)
@@ -247,7 +250,7 @@ def main():
         # paste sizes proportional to the miniature labels — the same 20-50%
         # of image height the reference's absolute 200-500px defaults span at
         # its 1024x2048 scale (and the range the training paste samples)
-        cfg=GenerationConfig(iou_threshold=0.7, max_retries=4, seed=0,
+        cfg=GenerationConfig(iou_threshold=0.7, max_retries=4, seed=args.seed,
                              paste_min_size=h // 5, paste_max_size=h // 2),
     )
     # generation output in the DiverseCityscapes generation_root layout
@@ -276,7 +279,7 @@ def main():
         # generation_root layout: <root>/img/*.png + <root>/lbl/*.png for the val
         # stems; clean side = write the val scenes as a train split
         city2 = work / "cityscapes_gen"
-        gen_rng2 = np.random.default_rng(123)  # same stream -> same scenes
+        gen_rng2 = np.random.default_rng(123 + args.seed)  # same stream -> same scenes
         for i in range(args.n_gen):
             img, color, tid = synth_scene(gen_rng2, h, w)
             stem = f"val_{i:06d}_000019"
