@@ -222,6 +222,10 @@ def main():
     ap.add_argument("--crop", type=int, default=96)
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--seeds", type=int, nargs="*", default=[0, 1])
+    ap.add_argument("--diverse_paste", type=float, default=0.0,
+                    help="fraction of the diffusion paste bank rendered in "
+                         "RANDOM colors (appearance diversity for the "
+                         "transfer val; see build_paste_bank)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -249,7 +253,7 @@ def main():
     diff_params, _ = TB.train_diffusion(
         str(city), str(work / "ckpt"), steps=args.backend_steps, batch=8,
         image_hw=(h, w), base=32, save_every=0, log_every=500,
-        paste_bank=build_paste_bank())
+        paste_bank=build_paste_bank(diverse_frac=args.diverse_paste))
     mask_dir = work / "masks"
     mask_dir.mkdir(exist_ok=True)
     src = ShapeSource()

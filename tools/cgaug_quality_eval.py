@@ -112,14 +112,22 @@ class ShapeSource:
         return m, self.NAMES[int(rng.integers(0, len(self.NAMES)))]
 
 
-def build_paste_bank(seed: int = 11, per_class: int = 8):
+def build_paste_bank(seed: int = 11, per_class: int = 8,
+                     diverse_frac: float = 0.0):
     """Anomaly-paste tuples for ``train_diffusion(paste_bank=...)``: shapes
     rendered the way ``synth_scene`` renders scene classes (0.8*color + 30 +
     texture). The generator pastes ADE class colors into the label at
     generation time (``MultiShiftGenerator.generate``); a diffusion trained
     only on anomaly-free scenes has never seen those colors and renders the
     region indistinctly, capping the SAM-IoU pass rate — training pairs that
-    contain the paste extend the learned color->appearance rule to them."""
+    contain the paste extend the learned color->appearance rule to them.
+
+    ``diverse_frac``: fraction of tuples whose cut-out RGB is a RANDOM color
+    (the label color stays the class color). The diffusion then learns "this
+    label color -> a salient object of varied appearance" and samples varied
+    appearances at generation — the compact analog of the appearance
+    diversity the reference gets from pretrained SD, aimed at the ablation's
+    transfer val (anomaly appearances the generator never produced)."""
     from multishiftseg_tpu.cgaug.palettes import ade20k_color
 
     src = ShapeSource()
@@ -127,10 +135,13 @@ def build_paste_bank(seed: int = 11, per_class: int = 8):
     bank = []
     for name in ShapeSource.NAMES:
         rgb = ade20k_color(name)
-        for _ in range(per_class):
+        for k in range(per_class):
             m, _ = src.sample(rng)
+            base = (rng.integers(0, 256, 3).astype(np.float32)
+                    if k < per_class * diverse_frac else
+                    rgb.astype(np.float32))
             cut = np.clip(
-                rgb.astype(np.float32) * 0.8 + 30
+                base * 0.8 + 30
                 + rng.normal(0, 12, (*m.shape, 1)).astype(np.float32),
                 0, 255).astype(np.uint8)
             bank.append((cut, m, rgb))
