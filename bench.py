@@ -47,7 +47,10 @@ _DEFAULT_BATCH = {"m2f": 1, "deeplab": 4}
 BATCH = int(os.environ.get("BENCH_BATCH", "0"))
 WARMUP = 2
 ITERS = 4  # per timed window
-WINDOWS = 3  # best-of-N windows: the tunneled chip shows transient slow phases
+WINDOWS = 5  # best-of-N windows: the tunneled chip shows transient slow phases
+# (r4 measured pattern: a transient first window then steady state — e.g.
+# [0.91, 0.48, 0.47] s; two extra ~0.5 s windows materially improve the
+# best-of estimator's chance of catching a clean phase at negligible cost)
 TARGET_IMG_S = 10.0  # 2x estimated A100 reference throughput
 
 

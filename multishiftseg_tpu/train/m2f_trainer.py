@@ -269,8 +269,16 @@ class TrainM2FOOD:
 
         @jax.jit
         def eval_step(variables, img):
-            outputs = model.apply(variables, img, train=False)
-            return inference(outputs, img.shape[1:3], num_classes=num_classes)
+            # lax.map over the batch: the gather-bound deformable program
+            # loses its layout at native batch > 1 and collapses ~3x; the
+            # mapped batch-1 body runs at per-image parity (PERF.md round 4)
+            def one(im):
+                outputs = model.apply(variables, im[None], train=False)
+                sem, anomaly = inference(outputs, im.shape[0:2],
+                                         num_classes=num_classes)
+                return sem[0], anomaly[0]
+
+            return jax.lax.map(one, img)
 
         return eval_step
 

@@ -60,8 +60,16 @@ class OODEvaluator:
     """Shared whole-image eval loop over the anomaly benchmarks."""
 
     def __init__(self, cfg: Config, forward_fn, dataset_roots: Dict[str, str],
-                 tta: bool = False, save_dir: Optional[str] = None):
+                 tta: bool = False, save_dir: Optional[str] = None,
+                 batch_size: int = 4):
         """forward_fn(img [1,H,W,3] float) -> (anomaly [1,H,W], sem_logits or None).
+
+        ``batch_size``: images per forward within a shape bucket. Batch 4 is
+        safe for both models: DeepLab gains ~1.6x from native batching
+        (conv-tail amortization) and the m2f forward maps over the batch
+        inside its jit (``build_m2f_forward``) because the gather-bound
+        deformable program loses its layout at native batch > 1 (PERF.md
+        round 4: 2.94 img/s native batch 2 vs 8.44 via lax.map batch 4).
 
         ``save_dir``: if set, write per-image eval artifacts under
         ``<save_dir>/<dataset>/`` — ``<stem>_anomaly.npy`` (float32 score map)
@@ -73,6 +81,7 @@ class OODEvaluator:
         self.forward_fn = tta_wrap(forward_fn) if tta else forward_fn
         self.roots = dataset_roots
         self.save_dir = save_dir
+        self.batch_size = batch_size
 
     def _save_outputs(self, name: str, image_path: str,
                       anomaly: np.ndarray, sem: Optional[np.ndarray],
@@ -107,9 +116,11 @@ class OODEvaluator:
         d = self.cfg.data
         return Compose([ToTensor(), Normalize(mean=d.mean, std=d.std)])
 
-    def test(self, name: str, batch_size: int = 4) -> Optional[Dict[str, float]]:
+    def test(self, name: str, batch_size: Optional[int] = None) -> Optional[Dict[str, float]]:
         """Evaluate one benchmark, batching images that share a padded bucket
-        (DeepLab gains ~1.6x per-chip throughput from batch 4, PERF.md)."""
+        (per-model optimum set at construction; see ``__init__``)."""
+        if batch_size is None:
+            batch_size = self.batch_size
         ds_cls = EVAL_DATASETS[name]
         kwargs = {}
         if name in self.roots:
@@ -256,7 +267,21 @@ def build_m2f_forward(cfg: Config, weight_path: Optional[str],
 
     if spatial_devices:
         return spatial_jit(fwd, variables, spatial_devices)
-    jf = jax.jit(fwd)
+
+    def fwd_mapped(variables, img):
+        # Measured on v5e (PERF.md round 4): the gather-bound deformable
+        # program loses its layout at batch > 1 and collapses ~3x (2.94
+        # img/s at batch 2 vs 8.4 at batch 1, same phase). lax.map keeps the
+        # batch-1 layout inside one jitted program: batch-4 eval measured at
+        # per-image parity with batch 1 (8.441 vs 8.429 img/s), so batched
+        # buckets ride the fast path with one dispatch per bucket.
+        def one(im):
+            a, s = fwd(variables, im[None])
+            return a[0], s[0]
+
+        return jax.lax.map(one, img)
+
+    jf = jax.jit(fwd_mapped)
     return lambda img: jf(variables, img)
 
 

@@ -105,6 +105,14 @@ def test_eval_runner_on_synthetic_dataset(fake_data, tmp_path, monkeypatch):
     assert set(r) >= {"AUROC", "AUPRC", "FPR_TPR95"}
     assert 0.0 <= r["AUROC"] <= 1.0
 
+    # eval batching is a throughput knob, never a results knob: batch 1 (the
+    # measured m2f optimum, PERF.md round 4) must reproduce the batch-4 metrics
+    ev1 = OODEvaluator(cfg, fwd, {"RoadAnomaly21": fake_data["track"]},
+                       batch_size=1)
+    r1 = ev1.test("RoadAnomaly21")
+    for k in ("AUROC", "AUPRC", "FPR_TPR95"):
+        assert abs(r1[k] - r[k]) < 1e-6
+
     # --save_outputs artifacts: an anomaly score map + colorized prediction
     # per image, shaped like the un-padded input
     import numpy as np
