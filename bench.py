@@ -166,6 +166,15 @@ def run_one(which):
         "window_sec": [round(w, 4) for w in windows],
         "window_img_per_s": [round(ITERS * img.shape[0] / w, 3) for w in windows],
         "dispersion_pct": round(100.0 * (max(windows) - best) / best, 1),
+        # The measured pattern is ONE transient slow first window then steady
+        # state (e.g. [0.91, 0.48, 0.47] s), which makes the full-range
+        # dispersion read ~80% even when steady state is tight. The
+        # steady-state figure (range over windows excluding the single
+        # slowest) is the error bar that matters for code-vs-environment
+        # attribution; the full range stays recorded above.
+        "steady_dispersion_pct": round(
+            100.0 * (max(sorted(windows)[:-1]) - best) / best, 1)
+        if len(windows) > 2 else round(100.0 * (max(windows) - best) / best, 1),
     }
 
 
