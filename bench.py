@@ -45,7 +45,6 @@ H, W = 1024, 2048
 # the gather-bound M2F is fastest at batch 1 (both measured on v5e).
 _DEFAULT_BATCH = {"m2f": 1, "deeplab": 4}
 BATCH = int(os.environ.get("BENCH_BATCH", "0"))
-WARMUP = 2
 ITERS = 4  # per timed window
 WINDOWS = 5  # best-of-N windows: the tunneled chip shows transient slow phases
 # (r4 measured pattern: a transient first window then steady state — e.g.
@@ -127,8 +126,18 @@ def run_one(which):
     BATCH = int(os.environ.get("BENCH_BATCH", "0")) or _DEFAULT_BATCH.get(which, 1)
     name, fwd, variables, img = bench_deeplab() if which == "deeplab" else bench_m2f()
 
-    for _ in range(WARMUP):
+    # Warm until two consecutive warmup windows agree within 10% (bounded at 8):
+    # a fixed 2-iter warmup leaves a post-compile-cache transient that lands in
+    # the first timed window (BENCH_r04 recorded a 10.8 s window vs 0.48 steady),
+    # wasting a window and inflating the full-range dispersion field.
+    prev = None
+    for _ in range(8):
+        t0 = time.perf_counter()
         float(jnp.mean(fwd(variables, img)))
+        dt = time.perf_counter() - t0
+        if prev is not None and abs(dt - prev) <= 0.10 * max(dt, prev):
+            break
+        prev = dt
     # Chain a data dependency through each iteration and finish with a host data read:
     # the device runtime can coalesce repeated identical dispatches, and
     # block_until_ready alone has been observed to return early over remote transports.

@@ -97,7 +97,10 @@ def gpipe(
     n_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
     if n_layers % pipe_n:
         raise ValueError(f"{n_layers} layers not divisible by pipe={pipe_n}")
-    if PIPE_AXIS in (x_spec or ()):  # x rides the ring; it cannot be split over it
+    # x rides the ring; it cannot be split over the pipe axis — check tuple-
+    # composed entries too (PIPE_AXIS in P(('data', 'pipe')) is False)
+    if any(a == PIPE_AXIS or (isinstance(a, tuple) and PIPE_AXIS in a)
+           for a in (x_spec or ())):
         raise ValueError("x_spec must not shard over the pipe axis")
 
     def spmd(local_params, x_local):
@@ -171,8 +174,14 @@ def gpipe_encoder_apply(
     :func:`stack_layer_params` over the pixel decoder's
     ``encoder_layer_{i}`` subtrees. ``pos``/``reference_points`` are the
     batch-invariant extras ([1, S, ...] rows — broadcast inside)."""
-    pos1 = pos[:1]
-    ref1 = reference_points[:1]
+    if pos.shape[0] != 1 or reference_points.shape[0] != 1:
+        # per-sample pos/ref (e.g. padding masks / valid ratios) would be
+        # silently dropped by broadcasting row 0 — refuse instead
+        raise ValueError(
+            "gpipe_encoder_apply requires batch-invariant pos/reference_points "
+            f"([1, S, ...]); got {pos.shape[0]=}, {reference_points.shape[0]=}")
+    pos1 = pos
+    ref1 = reference_points
 
     def layer_apply(lp, state):
         mb = state.shape[0]
