@@ -66,6 +66,9 @@ def ms_deform_attn_core(
     if sample_mode == "nearest":
         return _core_forward_nearest(tuple(spatial_shapes), value,
                                      sampling_locations, attention_weights)
+    if sample_mode == "shared":
+        return _core_forward_shared(tuple(spatial_shapes), value,
+                                    sampling_locations, attention_weights)
     assert sample_mode == "bilinear", sample_mode
     return _ms_deform_attn_core_vjp(tuple(spatial_shapes), bool(quantize_table),
                                     value, sampling_locations, attention_weights)
@@ -272,6 +275,90 @@ def _core_forward_nearest(
     a = jnp.where(inb, a96, 0.0).reshape(n * lq * K, 1).astype(compute_dtype)
     part = (rows * a).reshape(n, lq, m, L * P, d)
     return part.sum(3, dtype=jnp.float32).reshape(n, lq, m * d).astype(compute_dtype)
+
+
+def _core_forward_shared(
+    spatial_shapes: Sequence[Tuple[int, int]],
+    value: jax.Array,
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+) -> jax.Array:
+    """Shared-corner approximate forward: ONE gather per (level, point) shared
+    across the heads (PERF.md ceiling statement; the reference gathers one
+    bilinear window per (head, level, point),
+    ``ops/functions/ms_deform_attn_func.py:52-72``).
+
+    The gather issue rate is the op's hard floor (1.85 ns/index x 24.8M
+    indices at eval shapes = 45.7 ms/image, PERF.md round 1-3); ``nearest``
+    mode already strips the post-gather chain to its minimum but keeps every
+    index. This mode collapses the per-head sampling locations to ONE location
+    per (l, p) — their attention-mass-weighted centroid — rounds it to the
+    nearest pixel, and gathers the full [1, M*D] channel row straight from the
+    [N*S, M*D] value view (heads are channel-contiguous there: no transpose,
+    no table build). Indices drop 8x (one per (l, p) instead of one per
+    (m, l, p)); bytes moved are unchanged (8 heads x D vs 1 x M*D per point).
+    Per-head attention weights stay exact. Eval-only (no custom VJP), like
+    ``nearest``; accuracy must be checkpoint-qualified end-to-end before
+    production use (``tools/learning_demo.py --qualify_sampling``, +-0.5 pt
+    gate) — the collapse changes numerics more than nearest rounding does.
+    """
+    n, s, m, d = value.shape
+    _, lq, _, L, P, _ = sampling_locations.shape
+    assert L == len(spatial_shapes)
+    compute_dtype = value.dtype
+    J = L * P
+    K = m * J
+    v = value.reshape(n * s, m * d)
+
+    hw = np.asarray(spatial_shapes, np.int64)
+    off_np = np.concatenate([[0], np.cumsum(hw[:, 0] * hw[:, 1])[:-1]])
+    # lane-form coordinate math as in the other modes (lane k = m*J + l*P + p)
+    loc192 = sampling_locations.astype(jnp.float32).reshape(n, lq, 2 * K)
+    x96 = loc192[:, :, 0::2]
+    y96 = loc192[:, :, 1::2]
+    a96 = attention_weights.astype(jnp.float32).reshape(n, lq, K)
+
+    # head collapse: per (l, p), the attention-mass-weighted centroid of the 8
+    # head locations — a head with all its (l, p) mass at u pulls the shared
+    # point to u; near-zero-weight heads (whose sample barely contributes to
+    # the exact op either) barely move it.
+    a_h = a96.reshape(n, lq, m, J)
+    asum = a_h.sum(2)  # [N, Lq, J]
+    inv = 1.0 / jnp.maximum(asum, 1e-12)
+    xs = (x96 * a96).reshape(n, lq, m, J).sum(2) * inv
+    ys = (y96 * a96).reshape(n, lq, m, J).sum(2) * inv
+
+    lane_l = np.arange(J) // P
+    wv = jnp.asarray(hw[lane_l, 1], jnp.float32)  # [J]
+    hv = jnp.asarray(hw[lane_l, 0], jnp.float32)
+    x = xs * wv - 0.5
+    y = ys * hv - 0.5
+    ix = jnp.clip(jnp.floor(x + 0.5), 0.0, wv - 1.0)
+    iy = jnp.clip(jnp.floor(y + 0.5), 0.0, hv - 1.0)
+    # zero-padding analog (see nearest mode): shared point out of bounds ->
+    # drop the (l, p) contribution for every head
+    inb = (x > -0.5) & (x < wv - 0.5) & (y > -0.5) & (y < hv - 0.5)
+
+    off = jnp.asarray(off_np[lane_l], jnp.int32)
+    wi = jnp.asarray(hw[lane_l, 1], jnp.int32)
+    lin = (
+        jnp.arange(n, dtype=jnp.int32)[:, None, None] * s
+        + off
+        + iy.astype(jnp.int32) * wi
+        + ix.astype(jnp.int32)
+    )
+    rows = _flat_row_gather(v, lin.reshape(-1))  # [N*Lq*J, M*D]
+
+    # exact per-head weights over the shared rows: out[m, d] =
+    # sum_j a[m, j] * row[j, m*D + d]
+    a_t = (
+        jnp.where(inb[:, :, None, :], a_h, 0.0)
+        .transpose(0, 1, 3, 2)  # [N, Lq, J, M] (small f32 tensor)
+        .astype(compute_dtype)
+    )
+    part = rows.reshape(n, lq, J, m, d) * a_t[..., None]
+    out = part.sum(2, dtype=jnp.float32)
+    return out.reshape(n, lq, m * d).astype(compute_dtype)
 
 
 def _core_vjp_fwd(spatial_shapes, quantize_table, value, sampling_locations,

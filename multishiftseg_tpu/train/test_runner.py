@@ -242,17 +242,19 @@ def build_deeplab_forward(cfg: Config, weight_path: Optional[str],
 def build_m2f_forward(cfg: Config, weight_path: Optional[str],
                       spatial_devices: int = 0, sample_mode: str = "bilinear"):
     """``sample_mode``: 'bilinear' (exact, reference parity), 'nearest'
-    (approximate deformable sampling, ~1.9x faster eval on v5e), or 'int8'
-    (int8 deformable value table). Both fast paths are accuracy-qualified on a
-    trained checkpoint: AUROC/AUPRC/FPR95 deltas < 0.25pt vs bilinear
-    (outputs/r4/m2f_evidence.json; PERF.md round 4)."""
+    (approximate deformable sampling, ~1.9x faster eval on v5e), 'shared'
+    (head-shared sampling points, 8x fewer gather indices, fastest), or 'int8'
+    (int8 deformable value table). Every fast path is accuracy-qualified on a
+    trained checkpoint: AUROC/AUPRC/FPR95 deltas within the +-0.5pt budget vs
+    bilinear (outputs/r4/m2f_evidence.json, outputs/r5/m2f_evidence.json;
+    PERF.md rounds 4-5)."""
     from ..models.maskformer import inference
     from ..train.m2f_trainer import TrainM2FOOD
 
     trainer = TrainM2FOOD(cfg, weight_path)
     model, variables = trainer.model, trainer.variables
-    if sample_mode == "nearest":
-        model = model.clone(deform_sample_mode="nearest")
+    if sample_mode in ("nearest", "shared"):
+        model = model.clone(deform_sample_mode=sample_mode)
     elif sample_mode == "int8":
         model = model.clone(quantize_deform_table=True)
     elif sample_mode != "bilinear":
@@ -301,11 +303,12 @@ def main():
                         help="write per-image anomaly score maps (.npy) and "
                              "colorized predictions (.png) under DIR/<dataset>/")
     parser.add_argument("--sample_mode", default="bilinear",
-                        choices=["bilinear", "nearest", "int8"],
+                        choices=["bilinear", "nearest", "shared", "int8"],
                         help="m2f deformable sampling: bilinear = exact "
-                             "reference parity; nearest / int8 = qualified "
-                             "fast paths (deltas < 0.25pt on a trained "
-                             "checkpoint, outputs/r4/m2f_evidence.json)")
+                             "reference parity; nearest / shared / int8 = "
+                             "qualified fast paths (trained-checkpoint deltas "
+                             "inside the +-0.5pt budget, "
+                             "outputs/r{4,5}/m2f_evidence.json)")
     args = parser.parse_args()
 
     from ..utils import enable_compilation_cache

@@ -296,3 +296,77 @@ def test_degenerate_level_h1_matches_oracle(rng):
     (out * torch.from_numpy(g)).sum().backward()
     np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ga), ta.grad.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def _shared_numpy_oracle(value, shapes, loc, attn):
+    """Independent numpy implementation of the shared-corner definition:
+    per (l, p), nearest-pixel sample at the attention-mass-weighted centroid
+    of the head locations, weighted by the exact per-head attention."""
+    n, s, m, d = value.shape
+    _, lq, _, L, p, _ = loc.shape
+    out = np.zeros((n, lq, m, d), np.float32)
+    offs = np.concatenate([[0], np.cumsum([h * w for h, w in shapes])[:-1]])
+    for b in range(n):
+        for q in range(lq):
+            for lid, (h, w) in enumerate(shapes):
+                for pt in range(p):
+                    a = attn[b, q, :, lid, pt]  # [M]
+                    asum = max(a.sum(), 1e-12)
+                    cx = (a * loc[b, q, :, lid, pt, 0]).sum() / asum
+                    cy = (a * loc[b, q, :, lid, pt, 1]).sum() / asum
+                    x = cx * w - 0.5
+                    y = cy * h - 0.5
+                    if not (-0.5 < x < w - 0.5 and -0.5 < y < h - 0.5):
+                        continue
+                    ix = int(np.clip(np.floor(x + 0.5), 0, w - 1))
+                    iy = int(np.clip(np.floor(y + 0.5), 0, h - 1))
+                    row = value[b, offs[lid] + iy * w + ix]  # [M, D]
+                    out[b, q] += a[:, None] * row
+    return out.reshape(n, lq, m * d)
+
+
+def test_shared_mode_matches_numpy_oracle(rng):
+    """The shared-corner mode (one gather per (l, p), head-shared centroid
+    location) equals an independent numpy implementation of its definition,
+    including out-of-bounds drops (the _inputs range spills past [0, 1])."""
+    value, loc, attn = _inputs(rng)
+    ours = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(attn),
+        sample_mode="shared"))
+    ref = _shared_numpy_oracle(value, SHAPES, loc, attn)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_shared_mode_equals_nearest_when_heads_agree(rng):
+    """When every head samples the same location per (l, p), the centroid IS
+    that location, so shared mode must equal nearest mode exactly — this pins
+    the [N*S, M*D] row-gather channel indexing per head."""
+    value, loc, attn = _inputs(rng)
+    loc = np.broadcast_to(loc[:, :, :1], loc.shape).copy()
+    shared = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(attn),
+        sample_mode="shared"))
+    nearest = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(attn),
+        sample_mode="nearest"))
+    np.testing.assert_allclose(shared, nearest, rtol=1e-5, atol=1e-6)
+
+
+def test_shared_mode_exact_at_headshared_pixel_centers(rng):
+    """Heads agreeing at pixel centers: bilinear degenerates to point
+    sampling and the centroid is the point, so shared == the exact op."""
+    s = sum(h * w for h, w in SHAPES)
+    value = rng.randn(N, s, M, D).astype(np.float32)
+    _, _, attn = _inputs(rng)
+    loc = np.empty((N, LQ, M, len(SHAPES), P, 2), np.float32)
+    for lid, (h, w) in enumerate(SHAPES):
+        jj = rng.randint(0, w, (N, LQ, 1, P))
+        ii = rng.randint(0, h, (N, LQ, 1, P))
+        loc[:, :, :, lid, :, 0] = (jj + 0.5) / w
+        loc[:, :, :, lid, :, 1] = (ii + 0.5) / h
+    exact = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(attn)))
+    shared = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(attn),
+        sample_mode="shared"))
+    np.testing.assert_allclose(shared, exact, rtol=1e-5, atol=1e-6)

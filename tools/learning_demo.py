@@ -118,7 +118,7 @@ def main():
     ap.add_argument("--qualify_sampling", action="store_true",
                     help="m2f: after training, measure exact OOD metrics on "
                          "the best checkpoint under bilinear / nearest / "
-                         "int8-table deformable sampling")
+                         "shared / int8-table deformable sampling")
     ap.add_argument("--out", default=None, help="also write the JSON here")
     args = ap.parse_args()
 
@@ -243,6 +243,7 @@ def main():
         modes = {
             "bilinear": dict(deform_sample_mode="bilinear"),
             "nearest": dict(deform_sample_mode="nearest"),
+            "shared": dict(deform_sample_mode="shared"),
             "int8_table": dict(quantize_deform_table=True),
         }
         from multishiftseg_tpu.models.maskformer import inference
@@ -269,7 +270,7 @@ def main():
                                 "AUPRC": round(res[1], 5),
                                 "FPR_TPR95": round(res[2], 5)}
         ref = table["bilinear"]
-        for mode_name in ("nearest", "int8_table"):
+        for mode_name in ("nearest", "shared", "int8_table"):
             table[mode_name]["delta_vs_bilinear"] = {
                 k: round(table[mode_name][k] - ref[k], 5) for k in ref}
         out["sampling_qualification"] = table
