@@ -161,6 +161,16 @@ class TrainConfig:
     # Adam moments / BN stats (core/mesh.py::tensor_parallel_shardings)
     model_parallel: int = 1
     model_parallel_min_size: int = 1024
+    # pipeline parallelism (GPipe, core/pipeline.py): size of the mesh's pipe
+    # axis. The M2F deformable encoder stack runs stage-sharded over it — each
+    # device holds 1/pipe of the stacked encoder_layer_* params (and their
+    # Adam moments), microbatches flow stage-to-stage over ICI. Composes with
+    # model_parallel (dp x tp x pp mesh). Checkpoints stay in the per-layer
+    # named layout on disk (AUPRC_best; converters in core/pipeline.py).
+    pipeline_parallel: int = 1
+    # microbatches per step for the GPipe schedule; 0 = auto (largest divisor
+    # of the per-data-shard batch <= 2 * pipeline_parallel)
+    pipeline_microbatches: int = 0
 
 
 @dataclass

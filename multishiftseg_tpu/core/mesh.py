@@ -20,19 +20,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+# must match core.pipeline.PIPE_AXIS (defined there to keep pipeline.py
+# self-contained; asserted equal in tests/test_pipeline.py)
+PIPE_AXIS = "pipe"
 
 
 def make_mesh(
     num_devices: int = 0,
     model_parallel: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    pipeline_parallel: int = 1,
 ) -> Mesh:
-    """Create a 2-D (data, model) mesh over the local devices.
+    """Create a 2-D (data, model) mesh over the local devices — or a 3-D
+    (data, model, pipe) mesh when ``pipeline_parallel > 1``.
 
     Args:
       num_devices: total devices to use; 0 means all of ``jax.devices()``.
       model_parallel: size of the model axis (1 = pure data parallelism).
       devices: explicit device list (for tests with CPU meshes).
+      pipeline_parallel: size of the pipe axis (GPipe stages, core/pipeline.py).
     """
     devs = list(devices if devices is not None else jax.devices())
     if num_devices:
@@ -44,8 +50,16 @@ def make_mesh(
             )
         devs = devs[:num_devices]
     n = len(devs)
-    if n % model_parallel != 0:
-        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    groups = model_parallel * pipeline_parallel
+    if n % groups != 0:
+        raise ValueError(
+            f"{n} devices not divisible by model_parallel={model_parallel}"
+            + (f" x pipeline_parallel={pipeline_parallel}"
+               if pipeline_parallel > 1 else ""))
+    if pipeline_parallel > 1:
+        grid = np.asarray(devs).reshape(
+            n // groups, model_parallel, pipeline_parallel)
+        return Mesh(grid, (DATA_AXIS, MODEL_AXIS, PIPE_AXIS))
     grid = np.asarray(devs).reshape(n // model_parallel, model_parallel)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
@@ -94,15 +108,24 @@ def tensor_parallel_shardings(params, mesh: Mesh, min_size: int = 1024):
     inherits their placement.
     """
     msize = mesh.shape[MODEL_AXIS]
+    has_pipe = PIPE_AXIS in mesh.axis_names
 
-    def rule(x):
+    def rule(path, x):
+        # pipeline-stacked encoder params (and their Adam moments, whose optax
+        # state trees carry the same dict paths): leading layer axis over pipe
+        if has_pipe and any(
+                getattr(k, "key", None) == "encoder_stack" for k in path):
+            # exactly the gpipe shard_map's in_spec (P(pipe) and nothing
+            # else): adding model-axis sharding here would force an
+            # all-gather at the shard_map boundary every step
+            return NamedSharding(mesh, P(PIPE_AXIS))
         if (msize > 1 and hasattr(x, "shape") and x.ndim >= 1
                 and x.shape[-1] >= min_size and x.shape[-1] % msize == 0):
             return NamedSharding(
                 mesh, P(*([None] * (x.ndim - 1) + [MODEL_AXIS])))
         return replicated(mesh)
 
-    return jax.tree_util.tree_map(rule, params)
+    return jax.tree_util.tree_map_with_path(rule, params)
 
 
 def shard_params(variables, mesh: Mesh, min_size: int = 1024):
@@ -149,18 +172,23 @@ def host_cpu_mesh(n: int = 8) -> Mesh:
 
 
 def fit_mesh_to_batch(global_batch: int, num_devices: int = 0,
-                      model_parallel: int = 1) -> Mesh:
-    """(data, model) mesh whose data axis is the largest count that divides the
-    global batch, over ``model_parallel``-sized model groups."""
-    n = (num_devices or len(jax.devices())) // model_parallel
+                      model_parallel: int = 1,
+                      pipeline_parallel: int = 1) -> Mesh:
+    """(data, model[, pipe]) mesh whose data axis is the largest count that
+    divides the global batch, over ``model_parallel x pipeline_parallel``-sized
+    model groups."""
+    groups = model_parallel * pipeline_parallel
+    n = (num_devices or len(jax.devices())) // groups
     while n > 1 and global_batch % n != 0:
         n -= 1
-    return make_mesh(num_devices=n * model_parallel,
-                     model_parallel=model_parallel)
+    return make_mesh(num_devices=n * groups,
+                     model_parallel=model_parallel,
+                     pipeline_parallel=pipeline_parallel)
 
 
 def make_train_mesh(half_rows: int, num_devices: int = 0,
-                    model_parallel: int = 1) -> Mesh:
+                    model_parallel: int = 1,
+                    pipeline_parallel: int = 1) -> Mesh:
     """The trainers' mesh, sized for the PAIRED [clean ‖ augmented] batch.
 
     ``half_rows`` is one half (``cfg.train.train_batch``). Single-process: the
@@ -172,6 +200,10 @@ def make_train_mesh(half_rows: int, num_devices: int = 0,
     axis must divide ONE half — refuse otherwise (silent truncation would
     desynchronize the hosts' jit programs)."""
     if jax.process_count() > 1:
+        if pipeline_parallel > 1:
+            raise ValueError(
+                "pipeline_parallel > 1 is single-process only: the GPipe ring "
+                "(ppermute per tick) must ride ICI, not DCN")
         mesh = make_global_mesh(model_parallel=model_parallel)
         n = mesh.shape[DATA_AXIS]
         if half_rows % n != 0:
@@ -180,7 +212,8 @@ def make_train_mesh(half_rows: int, num_devices: int = 0,
                 f"data axis ({n} devices over {jax.process_count()} hosts)"
             )
         return mesh
-    return fit_mesh_to_batch(2 * half_rows, num_devices, model_parallel)
+    return fit_mesh_to_batch(2 * half_rows, num_devices, model_parallel,
+                             pipeline_parallel)
 
 
 def default_device_count(requested: int = 0) -> int:

@@ -71,25 +71,69 @@ def stage_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(PIPE_AXIS))
 
 
+def auto_microbatches(local_batch: int, pipe: int) -> int:
+    """Default GPipe microbatch count: the largest divisor of the per-data-
+    shard batch that is <= 2 * pipe. More microbatches shrink the bubble
+    ((P-1)/(n_micro+P-1)) but shrink each microbatch's MXU tiles; 2P is the
+    classic sweet spot when the batch allows it."""
+    target = 2 * pipe
+    best = 1
+    for m in range(1, local_batch + 1):
+        if local_batch % m == 0 and m <= target:
+            best = m
+    return best
+
+
+def pack_encoder_stack(params: Dict[str, Any], n_layers: int,
+                       scope: str = "pixel_decoder") -> Dict[str, Any]:
+    """Convert a full model param tree from the on-disk / sequential layout
+    (``pixel_decoder/encoder_layer_{i}`` named subtrees) to the pipeline
+    runtime layout (one ``pixel_decoder/encoder_stack`` subtree of
+    ``[n_layers, ...]`` leaves). Values are preserved exactly."""
+    pd = dict(params[scope])
+    pd["encoder_stack"] = stack_layer_params(pd, "encoder_layer_", n_layers)
+    for i in range(n_layers):
+        del pd[f"encoder_layer_{i}"]
+    return {**params, scope: pd}
+
+
+def unpack_encoder_stack(params: Dict[str, Any], n_layers: int,
+                         scope: str = "pixel_decoder") -> Dict[str, Any]:
+    """Inverse of :func:`pack_encoder_stack` (for saving interop checkpoints
+    and for running the sequential eval path on pipeline-trained params)."""
+    pd = dict(params[scope])
+    pd.update(unstack_layer_params(pd.pop("encoder_stack"),
+                                   "encoder_layer_", n_layers))
+    return {**params, scope: pd}
+
+
+def is_packed(params: Dict[str, Any], scope: str = "pixel_decoder") -> bool:
+    return scope in params and "encoder_stack" in params[scope]
+
+
 def gpipe(
-    layer_apply: Callable[[Any, jax.Array], jax.Array],
+    layer_apply: Callable[..., jax.Array],
     stacked_params,
     x: jax.Array,
     *,
     mesh: Mesh,
     n_micro: int,
     x_spec: P = P(),
+    extras=(),
 ) -> jax.Array:
     """Run ``x`` through the stacked layers with the GPipe schedule.
 
-    ``layer_apply(layer_params, state) -> state`` applies ONE layer (close
-    over any batch-invariant extras at microbatch shape). ``stacked_params``:
-    a pytree with leading axis ``n_layers`` on every leaf (from
-    :func:`stack_layer_params`), ``n_layers`` divisible by the ``pipe`` axis
-    size. ``x``: ``[B, ...]`` with ``B`` (the per-data-shard batch when
+    ``layer_apply(layer_params, state, *extras) -> state`` applies ONE layer.
+    ``stacked_params``: a pytree with leading axis ``n_layers`` on every leaf
+    (from :func:`stack_layer_params`), ``n_layers`` divisible by the ``pipe``
+    axis size. ``x``: ``[B, ...]`` with ``B`` (the per-data-shard batch when
     ``x_spec`` shards it) divisible by ``n_micro``. ``x_spec``: partitioning
     of ``x`` over the mesh's OTHER axes (e.g. ``P('data')`` for dp x pp);
-    ``x`` must be replicated over ``pipe``.
+    ``x`` must be replicated over ``pipe``. ``extras``: batch-invariant
+    tensors (pos encodings, reference points, ...) — passed as explicit
+    replicated shard_map operands, NOT closure captures: closed-over traced
+    values carry the outer (Auto) mesh's shardings into the Manual context,
+    which jax rejects at the first broadcast.
 
     Returns the output batch, partitioned like ``x``. Differentiable.
     """
@@ -103,7 +147,7 @@ def gpipe(
            for a in (x_spec or ())):
         raise ValueError("x_spec must not shard over the pipe axis")
 
-    def spmd(local_params, x_local):
+    def spmd(local_params, x_local, *extras_local):
         b_local = x_local.shape[0]
         if b_local % n_micro:
             raise ValueError(
@@ -114,7 +158,7 @@ def gpipe(
 
         def stage(state):
             def body(c, lp):
-                return layer_apply(lp, c), None
+                return layer_apply(lp, c, *extras_local), None
 
             out, _ = jax.lax.scan(body, state, local_params)
             return out
@@ -153,8 +197,10 @@ def gpipe(
         return outbuf.reshape(b_local, *x_local.shape[1:])
 
     return jax.shard_map(
-        spmd, mesh=mesh, in_specs=(P(PIPE_AXIS), x_spec), out_specs=x_spec,
-    )(stacked_params, x)
+        spmd, mesh=mesh,
+        in_specs=(P(PIPE_AXIS), x_spec) + (P(),) * len(extras),
+        out_specs=x_spec,
+    )(stacked_params, x, *extras)
 
 
 def gpipe_encoder_apply(
@@ -168,22 +214,26 @@ def gpipe_encoder_apply(
     mesh: Mesh,
     n_micro: int,
     x_spec: P = P(),
+    remat: bool = False,
+    remat_policy=None,
 ) -> jax.Array:
     """Pipeline the deformable encoder stack: ``layer_module`` is an unbound
     ``DeformableEncoderLayer``; ``stacked_params`` from
     :func:`stack_layer_params` over the pixel decoder's
     ``encoder_layer_{i}`` subtrees. ``pos``/``reference_points`` are the
-    batch-invariant extras ([1, S, ...] rows — broadcast inside)."""
+    batch-invariant extras ([1, S, ...] rows — broadcast inside).
+
+    ``remat=True`` rematerializes each layer application in the backward
+    (the pipelined analogue of the sequential path's per-layer ``nn.remat``
+    — without it the gather VJP saves every layer's patch tensors);
+    ``remat_policy`` e.g. ``save_only_these_names('deform_core')``."""
     if pos.shape[0] != 1 or reference_points.shape[0] != 1:
         # per-sample pos/ref (e.g. padding masks / valid ratios) would be
         # silently dropped by broadcasting row 0 — refuse instead
         raise ValueError(
             "gpipe_encoder_apply requires batch-invariant pos/reference_points "
             f"([1, S, ...]); got {pos.shape[0]=}, {reference_points.shape[0]=}")
-    pos1 = pos
-    ref1 = reference_points
-
-    def layer_apply(lp, state):
+    def layer_apply(lp, state, pos1, ref1):
         mb = state.shape[0]
         return layer_module.apply(
             {"params": lp}, state,
@@ -192,5 +242,7 @@ def gpipe_encoder_apply(
             spatial_shapes,
         )
 
+    if remat:
+        layer_apply = jax.checkpoint(layer_apply, policy=remat_policy)
     return gpipe(layer_apply, stacked_params, src, mesh=mesh, n_micro=n_micro,
-                 x_spec=x_spec)
+                 x_spec=x_spec, extras=(pos, reference_points))

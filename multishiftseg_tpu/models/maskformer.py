@@ -61,6 +61,12 @@ class MaskFormer(nn.Module):
     # "nearest" = approximate deformable sampling (accuracy-gated eval fast
     # path; see test_ms_deform_attn.py::test_nearest_mode_deviation_gate)
     deform_sample_mode: str = "bilinear"
+    # GPipe pipeline parallelism for the deformable encoder stack (msdeformattn
+    # pixel decoder only; cfg.train.pipeline_parallel wires these in the
+    # trainers — see core/pipeline.py and models/pixel_decoder.py)
+    pipe_mesh: Optional[jax.sharding.Mesh] = None
+    pipe_n_micro: int = 1
+    pipe_x_spec: Tuple[Optional[str], ...] = ()
 
     @nn.compact
     def __call__(self, images: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
@@ -83,6 +89,8 @@ class MaskFormer(nn.Module):
                 dtype=self.dtype, name="pixel_decoder",
                 quantize_table=self.quantize_deform_table,
                 sample_mode=self.deform_sample_mode,
+                pipe_mesh=self.pipe_mesh, pipe_n_micro=self.pipe_n_micro,
+                pipe_x_spec=self.pipe_x_spec,
             )(feats, train=train)
         elif self.pixel_decoder == "fpn":
             from .fpn_decoder import BasePixelDecoder

@@ -77,6 +77,13 @@ class MSDeformAttnPixelDecoder(nn.Module):
     dtype: Optional[jnp.dtype] = None
     quantize_table: bool = False  # int8 deformable value table (eval fast path)
     sample_mode: str = "bilinear"  # "nearest" = approximate deformable sampling
+    # GPipe pipeline parallelism (core/pipeline.py): when pipe_mesh is set the
+    # encoder stack runs stage-sharded over its 'pipe' axis with the stacked
+    # param layout (pixel_decoder/encoder_stack, [n_layers, ...] leaves) —
+    # converters pack/unpack_encoder_stack bridge to the named on-disk layout.
+    pipe_mesh: Optional[jax.sharding.Mesh] = None
+    pipe_n_micro: int = 1
+    pipe_x_spec: Tuple[Optional[str], ...] = ()  # P(*pipe_x_spec) for src
 
     @nn.compact
     def __call__(self, features: Dict[str, jax.Array], train: bool = False):
@@ -95,21 +102,23 @@ class MSDeformAttnPixelDecoder(nn.Module):
             shapes.append((h, w))
             srcs.append(x.reshape(x.shape[0], h * w, self.conv_dim))
             pe = position_embedding_sine(h, w, self.conv_dim).astype(x.dtype)
-            poss.append(jnp.broadcast_to(
-                pe.reshape(1, h * w, self.conv_dim),
-                (x.shape[0], h * w, self.conv_dim)))
+            poss.append(pe.reshape(1, h * w, self.conv_dim))
 
         level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0), (L, self.conv_dim)
         )
         src = jnp.concatenate(srcs, axis=1)
-        pos = jnp.concatenate(
+        # batch-invariant [1, S, ...] rows (no padding masks -> identical per
+        # sample); the sequential path broadcasts them, the pipelined path
+        # requires them in row form (gpipe_encoder_apply refuses per-sample)
+        pos1 = jnp.concatenate(
             [p + level_embed[i].astype(p.dtype) for i, p in enumerate(poss)], axis=1
         )
-        ref = jnp.asarray(_reference_points(shapes))  # [S, 2]
-        ref = jnp.broadcast_to(
-            ref[None, :, None, :], (src.shape[0], ref.shape[0], L, 2)
-        )
+        ref1 = jnp.asarray(_reference_points(shapes))  # [S, 2]
+        ref1 = jnp.broadcast_to(ref1[None, :, None, :], (1, ref1.shape[0], L, 2))
+        n = src.shape[0]
+        pos = jnp.broadcast_to(pos1, (n,) + pos1.shape[1:])
+        ref = jnp.broadcast_to(ref1, (n,) + ref1.shape[1:])
 
         # Rematerialize each encoder layer, in BOTH modes. Training: the gather
         # VJP otherwise saves the ~[N*M, Lq, P, 2, 2, D] patch tensors of all 6
@@ -122,18 +131,21 @@ class MSDeformAttnPixelDecoder(nn.Module):
         # bf16) DCEs the core's gather+dot chain out of the backward recompute
         # (1195 -> 945 ms/step, same-harness A/B, PERF.md); the tag is off at
         # eval to keep the measured-headline graph unchanged.
-        layer_cls = nn.remat(
-            DeformableEncoderLayer, static_argnums=(4,),
-            policy=(jax.checkpoint_policies.save_only_these_names("deform_core")
-                    if train else None),
-        )
-        for i in range(self.transformer_enc_layers):
-            src = layer_cls(
-                d_model=self.conv_dim, n_levels=L, n_heads=self.n_heads,
-                n_points=self.n_points, dtype=self.dtype, name=f"encoder_layer_{i}",
-                quantize_table=self.quantize_table, sample_mode=self.sample_mode,
-                tag_core=train,
-            )(src, pos, ref, shapes)
+        if self.pipe_mesh is not None:
+            src = self._pipelined_encoder(src, pos1, ref1, tuple(shapes), L, train)
+        else:
+            layer_cls = nn.remat(
+                DeformableEncoderLayer, static_argnums=(4,),
+                policy=(jax.checkpoint_policies.save_only_these_names("deform_core")
+                        if train else None),
+            )
+            for i in range(self.transformer_enc_layers):
+                src = layer_cls(
+                    d_model=self.conv_dim, n_levels=L, n_heads=self.n_heads,
+                    n_points=self.n_points, dtype=self.dtype, name=f"encoder_layer_{i}",
+                    quantize_table=self.quantize_table, sample_mode=self.sample_mode,
+                    tag_core=train,
+                )(src, pos, ref, shapes)
 
         # split back to 2-D maps, low -> high resolution
         outs: List[jax.Array] = []
@@ -159,3 +171,43 @@ class MSDeformAttnPixelDecoder(nn.Module):
         mask_features = Conv(self.mask_dim, (1, 1), use_bias=True, dtype=self.dtype,
                              name="mask_features")(outs[-1])
         return mask_features, outs[0], outs[: self.num_outputs]
+
+    def _pipelined_encoder(self, src, pos1, ref1, shapes, L, train):
+        """GPipe the encoder stack over ``pipe_mesh``'s 'pipe' axis.
+
+        Declares ONE stacked parameter subtree (``encoder_stack``:
+        ``[n_layers, ...]`` leaves, stage-sharded by the trainer via
+        ``core.mesh.tensor_parallel_shardings``) and applies the unbound
+        layer template through ``gpipe_encoder_apply``. Per-layer remat with
+        the same deform_core policy as the sequential path."""
+        from ..core.pipeline import gpipe_encoder_apply
+        from jax.sharding import PartitionSpec
+
+        n_layers = self.transformer_enc_layers
+        layer = DeformableEncoderLayer(
+            d_model=self.conv_dim, n_levels=L, n_heads=self.n_heads,
+            n_points=self.n_points, dtype=self.dtype,
+            quantize_table=self.quantize_table, sample_mode=self.sample_mode,
+            tag_core=train, parent=None,
+        )
+
+        def init_stack(rng):
+            # fresh-init path (trainers init the sequential layout and
+            # pack_encoder_stack it, which preserves per-layer init exactly;
+            # this direct init exists for standalone model.init of a
+            # pipelined model)
+            keys = jax.random.split(rng, n_layers)
+            ps = [layer.init(k, src[:1], pos1, ref1, shapes)["params"]
+                  for k in keys]
+            return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, 0), *ps)
+
+        stacked = self.param("encoder_stack", init_stack)
+        return gpipe_encoder_apply(
+            layer, stacked, src, pos1, ref1, shapes,
+            mesh=self.pipe_mesh, n_micro=self.pipe_n_micro,
+            x_spec=PartitionSpec(*self.pipe_x_spec),
+            remat=True,
+            remat_policy=(
+                jax.checkpoint_policies.save_only_these_names("deform_core")
+                if train else None),
+        )

@@ -78,7 +78,8 @@ class TrainM2FOOD:
         # multi-process: host-major global mesh, halves fed as separate global
         # arrays (in-jit concat), data axis must divide ONE half (core.mesh)
         self.mesh = make_train_mesh(cfg.train.train_batch, cfg.train.num_devices,
-                                    cfg.train.model_parallel)
+                                    cfg.train.model_parallel,
+                                    cfg.train.pipeline_parallel)
         self._paired = jax.process_count() > 1
         if cfg.train.train_batch % jax.process_count() != 0:
             raise ValueError(
@@ -121,6 +122,33 @@ class TrainM2FOOD:
             # point-selection top-k via the TPU bucketed approx_min_k
             approx_point_topk=os.environ.get("MSS_APPROX_POINTS", "") == "1",
         )
+        # pipeline parallelism (cfg.train.pipeline_parallel): the TRAIN steps
+        # run a clone whose deformable encoder stack is GPipe-staged over the
+        # mesh's pipe axis (stacked encoder_stack runtime param layout); eval
+        # and every on-disk checkpoint stay in the sequential named layout —
+        # _pack_tree/_unpack_tree convert at the train-state boundary.
+        self._pp = cfg.train.pipeline_parallel
+        self._n_enc = self.model.transformer_enc_layers
+        if self._pp > 1:
+            if self.model.pixel_decoder != "msdeformattn":
+                raise ValueError(
+                    "pipeline_parallel requires the msdeformattn pixel decoder "
+                    f"(got {self.model.pixel_decoder!r})")
+            from ..core.mesh import DATA_AXIS
+            from ..core.pipeline import auto_microbatches
+
+            per_shard = 2 * cfg.train.train_batch // self.mesh.shape[DATA_AXIS]
+            n_micro = (cfg.train.pipeline_microbatches
+                       or auto_microbatches(per_shard, self._pp))
+            if per_shard % n_micro:
+                raise ValueError(
+                    f"per-data-shard batch {per_shard} not divisible by "
+                    f"pipeline_microbatches={n_micro}")
+            self.train_model = self.model.clone(
+                pipe_mesh=self.mesh, pipe_n_micro=n_micro,
+                pipe_x_spec=(DATA_AXIS,))
+        else:
+            self.train_model = self.model
         self.best: Dict[str, float] = {"AUPRC": -1.0}
         self.ckpt = CheckpointManager(cfg.model_dir)
         self.variables = self._build_variables(weight_path)
@@ -143,6 +171,37 @@ class TrainM2FOOD:
             {"params": jax.random.PRNGKey(self.cfg.train.seed)},
             jnp.zeros((1, hp, wp, 3), jnp.float32), train=False,
         )
+
+    # ---------------- pipeline layout conversion ----------------
+
+    def _map_param_trees(self, tree, fn):
+        """Apply ``fn`` to every params-shaped dict inside ``tree`` (the params
+        themselves, or the Adam moment trees nested in an optax state)."""
+        return jax.tree_util.tree_map(
+            lambda x: fn(x) if isinstance(x, dict) and "pixel_decoder" in x else x,
+            tree,
+            is_leaf=lambda x: isinstance(x, dict) and "pixel_decoder" in x)
+
+    def _pack_tree(self, tree):
+        """Named (disk/eval) -> stacked (pipeline runtime) layout; identity
+        when pipeline is off or the tree is already packed."""
+        if self._pp <= 1:
+            return tree
+        from ..core.pipeline import is_packed, pack_encoder_stack
+
+        return self._map_param_trees(
+            tree, lambda d: d if is_packed(d)
+            else pack_encoder_stack(d, self._n_enc))
+
+    def _unpack_tree(self, tree):
+        """Stacked (pipeline runtime) -> named (disk/eval) layout."""
+        if self._pp <= 1:
+            return tree
+        from ..core.pipeline import is_packed, unpack_encoder_stack
+
+        return self._map_param_trees(
+            tree, lambda d: unpack_encoder_stack(d, self._n_enc)
+            if is_packed(d) else d)
 
     # ---------------- data ----------------
 
@@ -185,7 +244,7 @@ class TrainM2FOOD:
         return img, target, (h, w)
 
     def make_stage1_step(self, tx, paired: bool = True):
-        model, rcl_params = self.model, self.rcl_params
+        model, rcl_params = self.train_model, self.rcl_params
         crop_hw = tuple(self.cfg.data.crop_size)
         num_classes = self.model.num_classes
 
@@ -220,7 +279,8 @@ class TrainM2FOOD:
         return self._pairify(step) if paired else jax.jit(step, donate_argnums=(0,))
 
     def make_stage2_step(self, tx, paired: bool = True):
-        model, crit_cfg, rcl_params = self.model, self.crit_cfg, self.rcl_params
+        model = self.train_model
+        crit_cfg, rcl_params = self.crit_cfg, self.rcl_params
         crop_hw = tuple(self.cfg.data.crop_size)
 
         def step(state: TrainState, img, target):
@@ -313,15 +373,19 @@ class TrainM2FOOD:
         stage = int(cfg.train.warmup_epoch >= 0
                     and start_epoch >= cfg.train.warmup_epoch)
         m = cfg.model.m2f
+        # runtime param layout: stacked encoder_stack when pipelining (the
+        # optimizer trees are built on it so moments stage-shard with it);
+        # self.variables and every checkpoint stay in the named layout
+        params_rt = self._pack_tree(self.variables["params"])
         if stage == 0:
             tx, opt_state = build_stage_optimizer(
-                self.variables["params"], cfg.train.lr, cfg.train.weight_decay,
+                params_rt, cfg.train.lr, cfg.train.weight_decay,
                 cfg.model.trainable_params_name,
             )
             step_fn = self.make_stage1_step(tx, paired=self._paired)
         else:
             tx, opt_state = build_m2f_official_optimizer(
-                self.variables["params"], base_lr=m.base_lr,
+                params_rt, base_lr=m.base_lr,
                 weight_decay=m.weight_decay, clip_value=m.clip_gradients_value,
                 trainable_names=cfg.model.trainable_params_name_update or (".",),
             )
@@ -340,14 +404,17 @@ class TrainM2FOOD:
             typed = self.ckpt.restore_typed(resume, {
                 "params": self.variables["params"],
                 "batch_stats": self.variables.get("batch_stats"),
-                "opt_state": opt_state, "epoch": 0, "rng": rng,
+                # checkpoints hold the named (sequential) layout; unpacking the
+                # runtime opt template yields that structure value-exactly
+                "opt_state": self._unpack_tree(opt_state),
+                "epoch": 0, "rng": rng,
                 "best_auprc": 0.0,
             })
-            opt_state = typed["opt_state"]
+            opt_state = self._pack_tree(typed["opt_state"])
             rng = jnp.asarray(typed["rng"])
             log.warning("restored optimizer + PRNG state (full resume)")
         state = TrainState(
-            params=self.variables["params"],
+            params=params_rt,
             batch_stats=self.variables.get("batch_stats"),
             opt_state=opt_state,
             step=jnp.zeros((), jnp.int32), rng=rng,
@@ -405,19 +472,22 @@ class TrainM2FOOD:
             if metrics and metrics["AUPRC"] > self.best["AUPRC"]:
                 self.best["AUPRC"] = metrics["AUPRC"]
                 # collective save: every host must call it (see deeplab_trainer)
-                self.ckpt.save("AUPRC_best", params=state.params,
+                # (named on-disk layout: _unpack_tree is identity at pp=1)
+                self.ckpt.save("AUPRC_best",
+                               params=self._unpack_tree(state.params),
                                batch_stats=state.batch_stats,
-                               opt_state=state.opt_state, epoch=epoch,
-                               best_auprc=self.best["AUPRC"])
+                               opt_state=self._unpack_tree(state.opt_state),
+                               epoch=epoch, best_auprc=self.best["AUPRC"])
                 log.warning("saved best model for AUPRC (%.4f)", metrics["AUPRC"])
             # fault-tolerance checkpoint: full state incl. optimizer + PRNG,
             # overwritten per epoch; resume with --resume last
-            self.ckpt.save("last", params=state.params,
+            self.ckpt.save("last", params=self._unpack_tree(state.params),
                            batch_stats=state.batch_stats,
-                           opt_state=state.opt_state, epoch=epoch,
+                           opt_state=self._unpack_tree(state.opt_state),
+                           epoch=epoch,
                            rng=state.rng, best_auprc=self.best["AUPRC"])
 
-        self.variables = {"params": state.params,
+        self.variables = {"params": self._unpack_tree(state.params),
                           "batch_stats": state.batch_stats}
         return self.best
 
@@ -426,7 +496,9 @@ class TrainM2FOOD:
         batches (``batched_valid``, shared with the DeepLab trainer)."""
         from .validation import batched_valid
 
-        variables = {"params": state.params}
+        # eval runs the sequential model — convert back to the named layout
+        # when training pipelined (identity at pp=1)
+        variables = {"params": self._unpack_tree(state.params)}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
         return batched_valid(
