@@ -61,7 +61,7 @@ class OODEvaluator:
 
     def __init__(self, cfg: Config, forward_fn, dataset_roots: Dict[str, str],
                  tta: bool = False, save_dir: Optional[str] = None,
-                 batch_size: int = 4):
+                 batch_size: int = 4, bucket_multiple: int = 128):
         """forward_fn(img [1,H,W,3] float) -> (anomaly [1,H,W], sem_logits or None).
 
         ``batch_size``: images per forward within a shape bucket. Batch 4 is
@@ -70,6 +70,10 @@ class OODEvaluator:
         inside its jit (``build_m2f_forward``) because the gather-bound
         deformable program loses its layout at native batch > 1 (PERF.md
         round 4: 2.94 img/s native batch 2 vs 8.44 via lax.map batch 4).
+
+        ``bucket_multiple``: eval padding granularity (default /128). Spatial
+        sharding raises it via :func:`spatial_bucket_multiple` so every
+        feature level's height splits evenly over the mesh.
 
         ``save_dir``: if set, write per-image eval artifacts under
         ``<save_dir>/<dataset>/`` — ``<stem>_anomaly.npy`` (float32 score map)
@@ -82,6 +86,7 @@ class OODEvaluator:
         self.roots = dataset_roots
         self.save_dir = save_dir
         self.batch_size = batch_size
+        self.bucket_multiple = bucket_multiple
 
     def _save_outputs(self, name: str, image_path: str,
                       anomaly: np.ndarray, sem: Optional[np.ndarray],
@@ -141,7 +146,8 @@ class OODEvaluator:
         for i in range(len(ds)):
             with Image.open(ds.images[i]) as im:
                 w, h = im.size
-            buckets.setdefault(bucket_shape(h, w), []).append(i)
+            buckets.setdefault(bucket_shape(h, w, self.bucket_multiple),
+                               []).append(i)
 
         for (bh, bw), idxs in buckets.items():
             for s in range(0, len(idxs), batch_size):
@@ -199,11 +205,20 @@ class OODEvaluator:
         return results
 
 
-def spatial_jit(fn, variables, n_devices: int):
+def spatial_jit(fn, variables, n_devices: int, min_stride: int = 1):
     """Jit an eval forward with the input image sharded SPATIALLY (height axis)
     over an ``n_devices`` data mesh — single-image latency scaling
     (``core/mesh.py::spatial_sharding``). Parameters are replicated; outputs
-    are fetched to host by the caller as usual."""
+    are fetched to host by the caller as usual.
+
+    ``min_stride``: the model's deepest feature stride (32 for the M2F
+    backbones, 8 for the OS8 DeepLab trunk). The image height must divide
+    ``rows * min_stride`` so EVERY feature level's height splits evenly over
+    the mesh: a level with H < rows forces the partitioner into degenerate
+    padded shards and involuntary replicate-then-repartition resharding
+    (measured: the MULTICHIP_r04 ``input_proj_1_gn`` SPMD warning came from a
+    stride-16 level with 4 rows on an 8-device mesh; at divisible shapes the
+    program partitions cleanly with zero warnings — PERF.md round 5)."""
     from ..core.mesh import DATA_AXIS, make_mesh, replicated, spatial_sharding
 
     mesh = make_mesh(num_devices=n_devices)
@@ -212,13 +227,29 @@ def spatial_jit(fn, variables, n_devices: int):
     jf = jax.jit(fn, in_shardings=(replicated(mesh), spatial_sharding(mesh)))
 
     def wrapped(img):
-        if img.shape[1] % rows:
+        need = rows * min_stride
+        if img.shape[1] % need:
             raise ValueError(
-                f"image height {img.shape[1]} not divisible by the spatial mesh "
-                f"({rows} devices); pad to a multiple (eval buckets already are)")
+                f"image height {img.shape[1]} not divisible by "
+                f"{need} (= {rows} spatial devices x deepest stride "
+                f"{min_stride}); pad the eval bucket (OODEvaluator "
+                f"bucket_multiple) so every feature level shards evenly")
         return jf(variables, img)
 
     return wrapped
+
+
+def spatial_bucket_multiple(spatial_devices: int, min_stride: int = 32,
+                            base: int = 128) -> int:
+    """Eval bucket granularity that satisfies :func:`spatial_jit`'s
+    divisibility contract (every feature level splits evenly over the mesh)."""
+    if spatial_devices <= 0:
+        return base
+    need = spatial_devices * min_stride
+    # lcm(base, need): both are powers-of-two multiples in practice
+    import math
+
+    return base * need // math.gcd(base, need)
 
 
 def build_deeplab_forward(cfg: Config, weight_path: Optional[str],
@@ -234,23 +265,72 @@ def build_deeplab_forward(cfg: Config, weight_path: Optional[str],
         return score, logit.transpose(0, 3, 1, 2)
 
     if spatial_devices:
-        return spatial_jit(fwd, variables, spatial_devices)
+        # OS8 trunk: deepest feature stride 8
+        return spatial_jit(fwd, variables, spatial_devices, min_stride=8)
     jf = jax.jit(fwd)
     return lambda img: jf(variables, img)
 
 
+def sampling_qualification_path(weight_path: str):
+    """Where ``tools/validate_release.py`` records the per-checkpoint
+    approximate-sampling qualification (measured metric deltas vs exact
+    bilinear on RoadAnomaly, gated at the BASELINE.md ±0.5-pt budget)."""
+    from pathlib import Path
+
+    p = Path(weight_path)
+    return p.parent / (p.stem + ".sampling_qualification.json")
+
+
+def check_sampling_qualification(weight_path: Optional[str],
+                                 sample_mode: str) -> None:
+    """Refuse an approximate sampling fast path whose measured-on-THESE-weights
+    qualification failed the ±0.5-pt gate.
+
+    ``tools/validate_release.py`` writes the artifact next to the checkpoint
+    when real weights + RoadAnomaly are available; a failed mode is recorded
+    ``qualified: false`` and this gate makes the refusal stick in every
+    production eval entry point. Absent artifact = not yet measured on these
+    weights: allowed with a warning (the compact-checkpoint qualification in
+    outputs/r{4,5}/m2f_evidence.json is the standing evidence)."""
+    if sample_mode == "bilinear" or not weight_path:
+        return
+    import json
+
+    qp = sampling_qualification_path(weight_path)
+    if not qp.exists():
+        log.warning(
+            "sample_mode=%s: no per-checkpoint qualification artifact (%s); "
+            "standing evidence is the compact-checkpoint gate "
+            "(outputs/r5/m2f_evidence.json). Run tools/validate_release.py "
+            "to qualify this checkpoint.", sample_mode, qp)
+        return
+    rec = json.loads(qp.read_text()).get("modes", {}).get(sample_mode)
+    if rec is not None and not rec.get("qualified", False):
+        raise RuntimeError(
+            f"sample_mode={sample_mode!r} REFUSED for {weight_path}: measured "
+            f"deltas vs exact bilinear exceeded the qualification budget "
+            f"({rec.get('delta_pts')}, artifact {qp}). Use --sample_mode "
+            "bilinear, or re-run tools/validate_release.py to re-qualify.")
+
+
 def build_m2f_forward(cfg: Config, weight_path: Optional[str],
-                      spatial_devices: int = 0, sample_mode: str = "bilinear"):
+                      spatial_devices: int = 0, sample_mode: str = "bilinear",
+                      enforce_qualification: bool = True):
     """``sample_mode``: 'bilinear' (exact, reference parity), 'nearest'
     (approximate deformable sampling, ~1.9x faster eval on v5e), 'shared'
     (head-shared sampling points, 8x fewer gather indices, fastest), or 'int8'
     (int8 deformable value table). Every fast path is accuracy-qualified on a
     trained checkpoint: AUROC/AUPRC/FPR95 deltas within the +-0.5pt budget vs
     bilinear (outputs/r4/m2f_evidence.json, outputs/r5/m2f_evidence.json;
-    PERF.md rounds 4-5)."""
+    PERF.md rounds 4-5). ``enforce_qualification=False`` bypasses the
+    per-checkpoint refusal gate — for the qualification measurement itself
+    (tools/validate_release.py), which must be able to re-measure a
+    previously-refused mode."""
     from ..models.maskformer import inference
     from ..train.m2f_trainer import TrainM2FOOD
 
+    if enforce_qualification:
+        check_sampling_qualification(weight_path, sample_mode)
     trainer = TrainM2FOOD(cfg, weight_path)
     model, variables = trainer.model, trainer.variables
     if sample_mode in ("nearest", "shared"):
@@ -268,7 +348,8 @@ def build_m2f_forward(cfg: Config, weight_path: Optional[str],
         return anomaly, sem
 
     if spatial_devices:
-        return spatial_jit(fwd, variables, spatial_devices)
+        # res5 stride 32: every pyramid level must shard evenly
+        return spatial_jit(fwd, variables, spatial_devices, min_stride=32)
 
     def fwd_mapped(variables, img):
         # Measured on v5e (PERF.md round 4): the gather-bound deformable
@@ -333,7 +414,10 @@ def main():
         "MUAD": d.muad_root,
         "ACDC_POC": d.acdc_root,
     }
-    ev = OODEvaluator(cfg, fwd, roots, tta=args.tta, save_dir=args.save_outputs)
+    ev = OODEvaluator(cfg, fwd, roots, tta=args.tta, save_dir=args.save_outputs,
+                      bucket_multiple=spatial_bucket_multiple(
+                          args.spatial,
+                          min_stride=32 if args.model == "m2f" else 8))
     default_names = DEFAULT_DATASETS if args.model == "deeplab" else DEFAULT_DATASETS_M2F
     names = (args.test_dataset,) if args.test_dataset else default_names
     results = ev.test_all(names)
