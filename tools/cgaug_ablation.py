@@ -51,12 +51,14 @@ TINY_TRUNK = dict(
 )
 
 
-def build_world(work: Path, n_train: int, h: int, w: int):
+def build_world(work: Path, n_train: int, h: int, w: int,
+                domain_randomize: bool = False):
     """Clean Cityscapes-layout world: train images/labels + color labels."""
     rng = np.random.default_rng(0)
     city = work / "cityscapes"
     for i in range(n_train):
-        img, color, tid = synth_scene(rng, h, w)
+        img, color, tid = synth_scene(rng, h, w,
+                                      domain_randomize=domain_randomize)
         stem = f"synth_{i:06d}_000019"
         p = city / "leftImg8bit" / "train" / "synth" / f"{stem}_leftImg8bit.png"
         p.parent.mkdir(parents=True, exist_ok=True)
@@ -68,16 +70,23 @@ def build_world(work: Path, n_train: int, h: int, w: int):
     return city
 
 
-def render_transfer_val(work: Path, n: int, h: int, w: int, seed: int = 500):
+def render_transfer_val(work: Path, n: int, h: int, w: int, seed: int = 500,
+                        domain_randomize: bool = False):
     """Held-out "real-world" anomalies: deterministic renders + pasted solid
-    shapes with an appearance family the diffusion never produced."""
+    shapes with an appearance family the diffusion never produced.
+
+    With ``domain_randomize`` the scenes are HELD-OUT draws from the same
+    appearance family as the training world (fresh rng) — appearance
+    transfer, not domain identity: the anomaly paste itself stays an
+    appearance the diffusion never produced."""
     rng = np.random.default_rng(seed)
     src = ShapeSource()
     track = work / "val_transfer"
     (track / "images").mkdir(parents=True, exist_ok=True)
     (track / "labels_masks").mkdir(parents=True, exist_ok=True)
     for i in range(n):
-        img, _, tid = synth_scene(rng, h, w)
+        img, _, tid = synth_scene(rng, h, w,
+                                  domain_randomize=domain_randomize)
         m, _ = src.sample(rng)
         # scale the 96x96 shape to ~1/4 image height, paste on the road band
         sh = max(16, h // 4)
@@ -226,6 +235,11 @@ def main():
                     help="fraction of the diffusion paste bank rendered in "
                          "RANDOM colors (appearance diversity for the "
                          "transfer val; see build_paste_bank)")
+    ap.add_argument("--domain_randomize", action="store_true",
+                    help="per-scene appearance randomization for the world "
+                         "AND the (held-out) transfer val — the domain "
+                         "bridge that makes appearance transfer measurable "
+                         "(see cgaug_quality_eval.synth_scene)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -244,8 +258,11 @@ def main():
     from multishiftseg_tpu.cgaug.segmenter import JaxPromptableSegmenter
 
     # 1. world ---------------------------------------------------------------
-    city = build_world(work, args.n_world, h, w)
-    print(f"[{time.time()-t0:.0f}s] world: {args.n_world} scenes", file=sys.stderr)
+    city = build_world(work, args.n_world, h, w,
+                       domain_randomize=args.domain_randomize)
+    print(f"[{time.time()-t0:.0f}s] world: {args.n_world} scenes"
+          + (" (domain-randomized)" if args.domain_randomize else ""),
+          file=sys.stderr)
 
     # 2. backends (ADE-palette conditioning + anomaly-paste augmentation —
     # the round-4 recipe that lifted the SAM-IoU pass rate past the 0.632
@@ -290,7 +307,8 @@ def main():
           file=sys.stderr)
 
     # held-out generation-val: FRESH layouts through the same pipeline
-    val_city = build_world(work / "valworld", args.n_val_gen + args.n_world, h, w)
+    val_city = build_world(work / "valworld", args.n_val_gen + args.n_world,
+                           h, w, domain_randomize=args.domain_randomize)
     val_stems = [f"synth_{i:06d}_000019"
                  for i in range(args.n_world, args.n_world + args.n_val_gen)]
     val_gen_root = work / "val_generated"
@@ -307,7 +325,9 @@ def main():
              str(val_gen_root / "gtFine" / "train" / "synth"))
     track_gen = work / "val_gen_track"
     n_gen_val = gen_to_val_track(val_gen_root, val_city, track_gen, val_stems)
-    track_transfer = render_transfer_val(work, args.n_val_transfer, h, w)
+    track_transfer = render_transfer_val(
+        work, args.n_val_transfer, h, w,
+        domain_randomize=args.domain_randomize)
     print(f"[{time.time()-t0:.0f}s] val tracks: gen={n_gen_val} "
           f"transfer={args.n_val_transfer}", file=sys.stderr)
 
@@ -338,6 +358,8 @@ def main():
         "protocol": "paired CG-Aug generated half vs clean-copy half, "
                     "real TrainDeepLabOOD two-stage RCL recipe",
         "train_generation_stats": train_stats,
+        "domain_randomize": bool(args.domain_randomize),
+        "diverse_paste": args.diverse_paste,
         "seeds": args.seeds,
         "arms": results,
         "mean_auprc": {

@@ -41,13 +41,22 @@ CAR = (0, 0, 142)
 COLOR2TID = {SKY: 10, ROAD: 0, BUILDING: 2, SIDEWALK: 1, VEG: 8, CAR: 13}
 
 
-def synth_scene(rng: np.random.Generator, h: int, w: int):
+def synth_scene(rng: np.random.Generator, h: int, w: int,
+                domain_randomize: bool = False):
     """A road-scene label layout + a deterministic image rendering of it.
 
     The image is a per-class base tone + per-class texture + a smooth horizontal
     lighting gradient — i.e. the image IS a function of the label (plus noise), so a
     seg-conditioned generator can genuinely learn the mapping.
-    """
+
+    ``domain_randomize``: sample per-SCENE appearance parameters (per-class
+    tone jitter, texture amplitude, lighting strength/direction, global
+    exposure) so the world spans an appearance FAMILY instead of one fixed
+    rendering. The offline analogue of the reference's cross-shift premise
+    (CGAug/generation_utils.py prompt diversity): an OOD head trained on a
+    single appearance can key on that appearance; trained across the family
+    it must key on class-conditional inconsistency — which is what transfers
+    to the ablation's held-out transfer val (tools/cgaug_ablation.py)."""
     color = np.zeros((h, w, 3), np.uint8)
     horizon = int(h * rng.uniform(0.25, 0.45))
     roadline = int(h * rng.uniform(0.55, 0.75))
@@ -70,9 +79,21 @@ def synth_scene(rng: np.random.Generator, h: int, w: int):
         tid[(color == c).all(-1)] = t
 
     base = color.astype(np.float32)
-    tex = rng.normal(0, 12, (h, w, 1)).astype(np.float32)
-    grad = np.linspace(-20, 20, w, dtype=np.float32)[None, :, None]
-    img = np.clip(base * 0.8 + 30 + tex + grad, 0, 255).astype(np.uint8)
+    if domain_randomize:
+        # per-scene appearance draw: the label->image map stays learnable
+        # (class identity still determines the local distribution) but no
+        # single tone/texture/lighting signature survives across scenes
+        tone = rng.uniform(-25, 25, (1, 1, 3)).astype(np.float32)
+        tex_sigma = float(rng.uniform(6.0, 24.0))
+        grad_amp = float(rng.uniform(0.0, 40.0)) * (1 if rng.random() < 0.5 else -1)
+        gain = float(rng.uniform(0.65, 0.95))
+        offset = float(rng.uniform(15.0, 45.0))
+    else:
+        tone, tex_sigma, grad_amp, gain, offset = 0.0, 12.0, 20.0, 0.8, 30.0
+    tex = rng.normal(0, tex_sigma, (h, w, 1)).astype(np.float32)
+    grad = np.linspace(-grad_amp, grad_amp, w, dtype=np.float32)[None, :, None]
+    img = np.clip((base + tone) * gain + offset + tex + grad,
+                  0, 255).astype(np.uint8)
     return img, color, tid
 
 
