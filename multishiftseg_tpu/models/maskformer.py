@@ -11,7 +11,7 @@ pad-to-divisibility (``ImageList.from_tensors``, size_divisibility 32) happen in
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -58,9 +58,10 @@ class MaskFormer(nn.Module):
     # int8 deformable value table (accuracy-gated eval fast path; see
     # test_ms_deform_attn.py::test_int8_table_accuracy_gate)
     quantize_deform_table: bool = False
-    # "nearest" = approximate deformable sampling (accuracy-gated eval fast
-    # path; see test_ms_deform_attn.py::test_nearest_mode_deviation_gate)
-    deform_sample_mode: str = "bilinear"
+    # approximate deformable sampling (accuracy-gated eval fast paths; see
+    # test_ms_deform_attn.py): "nearest", "nearest_top{T}", "shared" — or a
+    # per-encoder-layer tuple (hybrid: e.g. exact early, approximate late)
+    deform_sample_mode: Union[str, Tuple[str, ...]] = "bilinear"
     # GPipe pipeline parallelism for the deformable encoder stack (msdeformattn
     # pixel decoder only; cfg.train.pipeline_parallel wires these in the
     # trainers — see core/pipeline.py and models/pixel_decoder.py)

@@ -12,7 +12,7 @@ all-False masks), so valid ratios are identically 1 and are elided.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -76,7 +76,11 @@ class MSDeformAttnPixelDecoder(nn.Module):
     num_outputs: int = 3  # maskformer_num_feature_levels
     dtype: Optional[jnp.dtype] = None
     quantize_table: bool = False  # int8 deformable value table (eval fast path)
-    sample_mode: str = "bilinear"  # "nearest" = approximate deformable sampling
+    # deformable sampling: one mode string for every encoder layer, or a
+    # per-layer tuple of length transformer_enc_layers ("hybrid" eval fast
+    # paths — e.g. exact early layers, approximate late layers; error injected
+    # late propagates through fewer downstream layers)
+    sample_mode: Union[str, Tuple[str, ...]] = "bilinear"
     # GPipe pipeline parallelism (core/pipeline.py): when pipe_mesh is set the
     # encoder stack runs stage-sharded over its 'pipe' axis with the stacked
     # param layout (pixel_decoder/encoder_stack, [n_layers, ...] leaves) —
@@ -139,11 +143,18 @@ class MSDeformAttnPixelDecoder(nn.Module):
                 policy=(jax.checkpoint_policies.save_only_these_names("deform_core")
                         if train else None),
             )
+            modes = self.sample_mode
+            if isinstance(modes, str):
+                modes = (modes,) * self.transformer_enc_layers
+            elif len(modes) != self.transformer_enc_layers:
+                raise ValueError(
+                    f"per-layer sample_mode needs {self.transformer_enc_layers}"
+                    f" entries, got {len(modes)}: {modes}")
             for i in range(self.transformer_enc_layers):
                 src = layer_cls(
                     d_model=self.conv_dim, n_levels=L, n_heads=self.n_heads,
                     n_points=self.n_points, dtype=self.dtype, name=f"encoder_layer_{i}",
-                    quantize_table=self.quantize_table, sample_mode=self.sample_mode,
+                    quantize_table=self.quantize_table, sample_mode=modes[i],
                     tag_core=train,
                 )(src, pos, ref, shapes)
 

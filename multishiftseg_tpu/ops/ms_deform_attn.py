@@ -69,6 +69,11 @@ def ms_deform_attn_core(
     if sample_mode == "shared":
         return _core_forward_shared(tuple(spatial_shapes), value,
                                     sampling_locations, attention_weights)
+    if sample_mode.startswith("nearest_top"):
+        return _core_forward_nearest_topk(tuple(spatial_shapes), value,
+                                          sampling_locations,
+                                          attention_weights,
+                                          int(sample_mode[len("nearest_top"):]))
     assert sample_mode == "bilinear", sample_mode
     return _ms_deform_attn_core_vjp(tuple(spatial_shapes), bool(quantize_table),
                                     value, sampling_locations, attention_weights)
@@ -274,6 +279,77 @@ def _core_forward_nearest(
     a96 = attention_weights.astype(jnp.float32).reshape(n, lq, K)
     a = jnp.where(inb, a96, 0.0).reshape(n * lq * K, 1).astype(compute_dtype)
     part = (rows * a).reshape(n, lq, m, L * P, d)
+    return part.sum(3, dtype=jnp.float32).reshape(n, lq, m * d).astype(compute_dtype)
+
+
+def _core_forward_nearest_topk(
+    spatial_shapes: Sequence[Tuple[int, int]],
+    value: jax.Array,
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+    top: int,
+) -> jax.Array:
+    """Nearest sampling restricted to each head's ``top`` highest-weight
+    points (``sample_mode="nearest_top{T}"``).
+
+    The deformable attention weights are a softmax over the L*P points per
+    head (reference ``ms_deform_attn.py:126``), so the tail of that
+    distribution carries little output mass: keeping the top-T points and
+    renormalizing their weights preserves the convex combination while
+    gathering T/(L*P) of nearest mode's rows — and the gather ISSUE rate is
+    the measured hard floor of this op (PERF.md: 1.85 ns/index; row count,
+    not bytes, is what `shared` mode's 14.6 vs nearest's ~9 img/s split
+    demonstrates). Error is bounded by the dropped softmax mass; unlike
+    ``shared``'s head collapse it vanishes as T -> L*P. The top-k runs on the
+    small [N, Lq, M, L*P] weight tensor (VPU), selected indices drive
+    jnp.take_along_axis on the precomputed flat row indices. Eval-only, like
+    the other approximate modes; accuracy must be checkpoint-qualified
+    (tools/learning_demo.py --qualify_sampling, ±0.5-pt gate).
+    """
+    n, s, m, d = value.shape
+    _, lq, _, L, P, _ = sampling_locations.shape
+    assert L == len(spatial_shapes)
+    J = L * P
+    assert 0 < top <= J, (top, J)
+    compute_dtype = value.dtype
+    v = value.transpose(0, 2, 1, 3).reshape(n * m * s, d)
+
+    hw = np.asarray(spatial_shapes, np.int64)
+    off_np = np.concatenate([[0], np.cumsum(hw[:, 0] * hw[:, 1])[:-1]])
+    K = m * J
+    loc192 = sampling_locations.astype(jnp.float32).reshape(n, lq, 2 * K)
+    x96 = loc192[:, :, 0::2]
+    y96 = loc192[:, :, 1::2]
+    lane_l = (np.arange(K) // P) % L
+    wv96 = jnp.asarray(hw[lane_l, 1], jnp.float32)
+    hv96 = jnp.asarray(hw[lane_l, 0], jnp.float32)
+    x = x96 * wv96 - 0.5
+    y = y96 * hv96 - 0.5
+    ix = jnp.clip(jnp.floor(x + 0.5), 0.0, wv96 - 1.0)
+    iy = jnp.clip(jnp.floor(y + 0.5), 0.0, hv96 - 1.0)
+    inb = (x > -0.5) & (x < wv96 - 0.5) & (y > -0.5) & (y < hv96 - 0.5)
+    m96 = jnp.asarray(np.arange(K) // J, jnp.int32)
+    off96 = jnp.asarray(off_np[lane_l], jnp.int32)
+    wi96 = jnp.asarray(hw[lane_l, 1], jnp.int32)
+    lin = (
+        (jnp.arange(n, dtype=jnp.int32)[:, None, None] * m + m96) * s
+        + off96
+        + iy.astype(jnp.int32) * wi96
+        + ix.astype(jnp.int32)
+    )  # [N, Lq, K]
+
+    # zero OOB weights BEFORE selection (an OOB point must not occupy a slot),
+    # select per head, renormalize the kept mass
+    a = jnp.where(inb, attention_weights.astype(jnp.float32)
+                  .reshape(n, lq, K), 0.0).reshape(n, lq, m, J)
+    a_sel, j_sel = jax.lax.top_k(a, top)  # [N, Lq, M, T]
+    a_sel = a_sel * (a.sum(-1, keepdims=True)
+                     / jnp.maximum(a_sel.sum(-1, keepdims=True), 1e-12))
+    lin_sel = jnp.take_along_axis(lin.reshape(n, lq, m, J), j_sel, axis=-1)
+
+    rows = _flat_row_gather(v, lin_sel.reshape(-1))  # [N*Lq*M*T, D]
+    a_c = a_sel.reshape(n * lq * m * top, 1).astype(compute_dtype)
+    part = (rows * a_c).reshape(n, lq, m, top, d)
     return part.sum(3, dtype=jnp.float32).reshape(n, lq, m * d).astype(compute_dtype)
 
 

@@ -333,11 +333,23 @@ def build_m2f_forward(cfg: Config, weight_path: Optional[str],
         check_sampling_qualification(weight_path, sample_mode)
     trainer = TrainM2FOOD(cfg, weight_path)
     model, variables = trainer.model, trainer.variables
-    if sample_mode in ("nearest", "shared"):
-        model = model.clone(deform_sample_mode=sample_mode)
-    elif sample_mode == "int8":
+    def _valid(mode: str) -> bool:
+        return (mode in ("bilinear", "nearest", "shared")
+                or (mode.startswith("nearest_top")
+                    and mode[len("nearest_top"):].isdigit()))
+
+    if sample_mode == "int8":
         model = model.clone(quantize_deform_table=True)
-    elif sample_mode != "bilinear":
+    elif "," in sample_mode:
+        # per-encoder-layer hybrid, e.g. "bilinear,bilinear,nearest_top6,..."
+        modes = tuple(s.strip() for s in sample_mode.split(","))
+        if not all(_valid(s) for s in modes):
+            raise ValueError(f"unknown mode in hybrid sample_mode {modes}")
+        model = model.clone(deform_sample_mode=modes)
+    elif _valid(sample_mode):
+        if sample_mode != "bilinear":
+            model = model.clone(deform_sample_mode=sample_mode)
+    else:
         raise ValueError(f"unknown sample_mode {sample_mode!r}")
     num_classes = model.num_classes
 
@@ -384,12 +396,13 @@ def main():
                         help="write per-image anomaly score maps (.npy) and "
                              "colorized predictions (.png) under DIR/<dataset>/")
     parser.add_argument("--sample_mode", default="bilinear",
-                        choices=["bilinear", "nearest", "shared", "int8"],
                         help="m2f deformable sampling: bilinear = exact "
-                             "reference parity; nearest / shared / int8 = "
-                             "qualified fast paths (trained-checkpoint deltas "
-                             "inside the +-0.5pt budget, "
-                             "outputs/r{4,5}/m2f_evidence.json)")
+                             "reference parity; nearest / nearest_top{T} / "
+                             "shared / int8 = accuracy-gated fast paths "
+                             "(trained-checkpoint deltas vs bilinear, "
+                             "outputs/r{4,5}/m2f_evidence*.json); a "
+                             "comma-separated list gives a per-encoder-layer "
+                             "hybrid")
     args = parser.parse_args()
 
     from ..utils import enable_compilation_cache

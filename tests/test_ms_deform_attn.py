@@ -370,3 +370,123 @@ def test_shared_mode_exact_at_headshared_pixel_centers(rng):
         jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(attn),
         sample_mode="shared"))
     np.testing.assert_allclose(shared, exact, rtol=1e-5, atol=1e-6)
+
+
+def _nearest_topk_numpy_oracle(value, shapes, loc, attn, top):
+    """Independent numpy implementation of nearest_top{T}: per head, zero OOB
+    weights, keep the T largest, renormalize to the full in-bounds mass,
+    nearest-sample each kept point."""
+    n, s, m, d = value.shape
+    _, lq, _, L, p, _ = loc.shape
+    offs = np.concatenate([[0], np.cumsum([h * w for h, w in shapes])[:-1]])
+    out = np.zeros((n, lq, m, d), np.float32)
+    for b in range(n):
+        for q in range(lq):
+            for mm in range(m):
+                w_all, rows = [], []
+                for lid, (h, w) in enumerate(shapes):
+                    for pt in range(p):
+                        x = loc[b, q, mm, lid, pt, 0] * w - 0.5
+                        y = loc[b, q, mm, lid, pt, 1] * h - 0.5
+                        if -0.5 < x < w - 0.5 and -0.5 < y < h - 0.5:
+                            ix = int(np.clip(np.floor(x + 0.5), 0, w - 1))
+                            iy = int(np.clip(np.floor(y + 0.5), 0, h - 1))
+                            w_all.append(attn[b, q, mm, lid, pt])
+                            rows.append(value[b, offs[lid] + iy * w + ix, mm])
+                        else:
+                            w_all.append(0.0)
+                            rows.append(np.zeros(d, np.float32))
+                w_all = np.asarray(w_all, np.float32)
+                keep = np.argsort(-w_all, kind="stable")[:top]
+                kept = w_all[keep]
+                denom = max(kept.sum(), 1e-12)
+                kept = kept * (w_all.sum() / denom)
+                for k, j in enumerate(keep):
+                    out[b, q, mm] += kept[k] * rows[j]
+    return out.reshape(n, lq, m * d)
+
+
+def test_nearest_topk_matches_numpy_oracle(rng):
+    value, loc, attn = _inputs(rng)
+    for top in (2, 4):
+        ours = np.asarray(ms_deform_attn_core(
+            jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(attn),
+            sample_mode=f"nearest_top{top}"))
+        ref = _nearest_topk_numpy_oracle(value, SHAPES, loc, attn, top)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_nearest_topk_full_equals_nearest(rng):
+    """top = L*P keeps every point (renormalization factor 1): must equal
+    plain nearest mode."""
+    value, loc, attn = _inputs(rng)
+    J = len(SHAPES) * P
+    full = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(attn),
+        sample_mode=f"nearest_top{J}"))
+    nearest = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(attn),
+        sample_mode="nearest"))
+    np.testing.assert_allclose(full, nearest, rtol=1e-5, atol=1e-6)
+
+
+def test_nearest_topk_exact_when_mass_concentrated(rng):
+    """If each head's weight is concentrated on <= T points, nearest_top{T}
+    must equal plain nearest exactly (nothing is dropped)."""
+    value, loc, _ = _inputs(rng)
+    J = len(SHAPES) * P
+    top = 3
+    attn = np.zeros((N, LQ, M, J), np.float32)
+    for b in range(N):
+        for q in range(LQ):
+            for mm in range(M):
+                idx = rng.choice(J, top, replace=False)
+                w_ = rng.rand(top).astype(np.float32)
+                attn[b, q, mm, idx] = w_ / w_.sum()
+    attn = attn.reshape(N, LQ, M, len(SHAPES), P)
+    ours = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(attn),
+        sample_mode=f"nearest_top{top}"))
+    nearest = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(attn),
+        sample_mode="nearest"))
+    np.testing.assert_allclose(ours, nearest, rtol=1e-4, atol=1e-5)
+
+
+def test_per_layer_hybrid_sample_mode():
+    """MSDeformAttnPixelDecoder accepts a per-layer mode tuple; all-same
+    tuple equals the single-mode path exactly, and a wrong-length tuple is
+    rejected."""
+    import pytest as _pytest
+
+    from multishiftseg_tpu.models.pixel_decoder import MSDeformAttnPixelDecoder
+
+    feats = {
+        name: jnp.asarray(np.random.RandomState(i).randn(1, hw, hw, 8),
+                          np.float32)
+        for i, (name, hw) in enumerate(
+            [("res2", 16), ("res3", 8), ("res4", 4), ("res5", 2)])
+    }
+    kw = dict(conv_dim=32, mask_dim=32, transformer_enc_layers=2, n_heads=2,
+              n_points=2)
+    dec_single = MSDeformAttnPixelDecoder(sample_mode="nearest", **kw)
+    variables = dec_single.init({"params": jax.random.PRNGKey(0)}, feats,
+                                train=False)
+    out_single = dec_single.apply(variables, feats, train=False)
+    dec_tuple = MSDeformAttnPixelDecoder(
+        sample_mode=("nearest", "nearest"), **kw)
+    out_tuple = dec_tuple.apply(variables, feats, train=False)
+    np.testing.assert_allclose(np.asarray(out_single[0]),
+                               np.asarray(out_tuple[0]), rtol=1e-6, atol=1e-7)
+
+    # hybrid really dispatches per layer: bilinear+nearest differs from both
+    dec_hybrid = MSDeformAttnPixelDecoder(
+        sample_mode=("bilinear", "nearest"), **kw)
+    out_hybrid = dec_hybrid.apply(variables, feats, train=False)
+    assert not np.allclose(np.asarray(out_hybrid[0]),
+                           np.asarray(out_tuple[0]), atol=1e-6)
+
+    with _pytest.raises(ValueError, match="per-layer sample_mode"):
+        MSDeformAttnPixelDecoder(
+            sample_mode=("nearest",), **kw).apply(variables, feats,
+                                                  train=False)

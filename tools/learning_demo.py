@@ -119,6 +119,29 @@ def main():
                     help="m2f: after training, measure exact OOD metrics on "
                          "the best checkpoint under bilinear / nearest / "
                          "shared / int8-table deformable sampling")
+    ap.add_argument("--enc_layers", type=int, default=1,
+                    help="m2f deformable encoder depth (>1 makes per-layer "
+                         "HYBRID sampling modes measurable in the "
+                         "qualification table)")
+    ap.add_argument("--pretrain", type=int, default=0, metavar="N",
+                    help="m2f: FIRST pretrain a closed-set semantic model "
+                         "(TrainM2FInstance, vanilla decoder) N epochs on the "
+                         "synthetic world, then transfer every matching "
+                         "parameter into the OOD model before the two-stage "
+                         "fine-tune — the offline analogue of the reference's "
+                         "pretrained-checkpoint premise (train_m2f.py warmup "
+                         "stage trains the OOD head on TRAINED features)")
+    ap.add_argument("--reuse", action="store_true",
+                    help="skip training when the workdir already holds an "
+                         "AUPRC_best checkpoint (fast qualification re-runs; "
+                         "requires --workdir)")
+    ap.add_argument("--adapt_shared", type=int, default=0, metavar="N",
+                    help="m2f: deployment calibration for the shared fast "
+                         "path — fine-tune the trained checkpoint N epochs "
+                         "WITH shared sampling active (downstream weights "
+                         "recalibrate to the collapsed sampling geometry), "
+                         "then re-gate the adapted checkpoint against the "
+                         "ORIGINAL exact-bilinear metrics")
     ap.add_argument("--out", default=None, help="also write the JSON here")
     args = ap.parse_args()
 
@@ -138,22 +161,28 @@ def main():
 
     from multishiftseg_tpu.core.config import load_config
 
-    cfg = load_config(str(REPO / "exps" / f"{args.model}.yaml"),
-                      exp_id="learning_demo")
-    cfg.data.cityscapes_root = roots["cityscapes"]
-    cfg.data.generation_root = roots["generation"]
-    cfg.data.anomaly_track_root = roots["track"]
-    cfg.data.coco_root = str(work / "no_coco")
-    cfg.data.crop_size = (64, 64)
-    cfg.train.n_epochs = args.epochs
-    cfg.train.warmup_epoch = (args.warmup if args.warmup is not None
-                              else max(args.epochs // 2, 1))
-    cfg.train.train_batch = 4
-    cfg.train.lr = 1e-3  # tiny model, tiny data: faster than the 1e-4 recipe
-    cfg.train.bf16 = False
-    cfg.data.num_workers = 2
-    cfg.loss.params["num_pair_samples"] = 512
+    def demo_cfg(exp_id, epochs, warmup):
+        c = load_config(str(REPO / "exps" / f"{args.model}.yaml"),
+                        exp_id=exp_id)
+        c.data.cityscapes_root = roots["cityscapes"]
+        c.data.generation_root = roots["generation"]
+        c.data.anomaly_track_root = roots["track"]
+        c.data.coco_root = str(work / "no_coco")
+        c.data.crop_size = (64, 64)
+        c.train.n_epochs = epochs
+        c.train.warmup_epoch = warmup
+        c.train.train_batch = 4
+        c.train.lr = 1e-3  # tiny model, tiny data: faster than the 1e-4 recipe
+        c.train.bf16 = False
+        c.data.num_workers = 2
+        c.loss.params["num_pair_samples"] = 512
+        return c
 
+    cfg = demo_cfg("learning_demo", args.epochs,
+                   (args.warmup if args.warmup is not None
+                    else max(args.epochs // 2, 1)))
+
+    pretrain_info = None
     if args.model == "deeplab":
         from multishiftseg_tpu.models.deeplab import DeepWV3Plus
         from multishiftseg_tpu.train.deeplab_trainer import TrainDeepLabOOD
@@ -172,8 +201,70 @@ def main():
             cfg.model.m2f.backbone = args.backbone
         model = MaskFormer(num_classes=19, hidden_dim=32, num_queries=24,
                            nheads=4, dim_feedforward=64, dec_layers=3,
-                           mask_dim=32, transformer_enc_layers=1, **kw)
+                           mask_dim=32, transformer_enc_layers=args.enc_layers,
+                           **kw)
         trainer = TrainM2FOOD(cfg, model=model)
+
+        if args.pretrain:
+            # closed-set premise: train the SAME architecture (vanilla
+            # decoder) on the world's semantic task, then transfer every
+            # matching parameter — backbone, pixel decoder, and the shared
+            # predictor subtrees — into the OOD model. copy_class_embed_to_ood
+            # below then seeds class_embed2 from the TRAINED classifier, so
+            # stage 1 (class_embed2-only RCL warmup) runs on trained features,
+            # matching the reference's pretrained-checkpoint semantics
+            # (train_m2f.py:301-317).
+            from multishiftseg_tpu.train.instance_trainer import TrainM2FInstance
+
+            cfg_sem = load_config(str(REPO / "exps" / "m2f_semantic.yaml"),
+                                  exp_id="learning_demo_pretrain")
+            cfg_sem.data.cityscapes_root = roots["cityscapes"]
+            cfg_sem.data.crop_size = (64, 64)
+            cfg_sem.train.n_epochs = args.pretrain
+            cfg_sem.train.train_batch = 4
+            cfg_sem.train.bf16 = False
+            cfg_sem.data.num_workers = 2
+            if args.backbone:
+                cfg_sem.model.m2f.backbone = args.backbone
+            model_pre = model.clone(predictor="vanilla")
+            pre = TrainM2FInstance(cfg_sem, model=model_pre)
+            pre_result = pre.train()
+
+            def merge_params(dst, src):
+                """Copy src leaves into dst wherever the path exists with a
+                matching shape (vanilla->GMA decoder: the GMA extras stay at
+                their init)."""
+                moved = 0
+                out = {}
+                for k, v in dst.items():
+                    if isinstance(v, dict) and isinstance(src.get(k), dict):
+                        out[k], m = merge_params(v, src[k])
+                        moved += m
+                    elif (k in src and getattr(src[k], "shape", None)
+                          == getattr(v, "shape", ())):
+                        out[k] = src[k]
+                        moved += 1
+                    else:
+                        out[k] = v
+                return out, moved
+
+            import jax
+
+            merged, n_moved = merge_params(trainer.variables["params"],
+                                           pre.variables["params"])
+            n_total = len(jax.tree_util.tree_leaves(
+                trainer.variables["params"]))
+            trainer.variables["params"] = merged
+            if trainer.variables.get("batch_stats") is not None and \
+                    pre.variables.get("batch_stats") is not None:
+                trainer.variables["batch_stats"], _ = merge_params(
+                    trainer.variables["batch_stats"],
+                    pre.variables["batch_stats"])
+            pretrain_info = {"epochs": args.pretrain,
+                             "final_loss": round(float(pre_result["loss"]), 4),
+                             "transferred_leaves": n_moved,
+                             "total_leaves": n_total}
+
         # the reference initializes the OOD head by weight copy (stage 1
         # trains class_embed2 only, so it must start from class_embed)
         trainer.variables["params"] = copy_class_embed_to_ood(
@@ -189,20 +280,31 @@ def main():
     test_tf = Compose([ToTensor(), Normalize(mean=cfg.data.mean,
                                              std=cfg.data.std)])
     val_ds = RoadAnomaly21(root=cfg.data.anomaly_track_root, transform=test_tf)
-    if args.model == "deeplab":
-        base = batched_valid(
-            val_ds, lambda im: trainer.eval_step(trainer.variables, im)[0])
+    if args.reuse and trainer.ckpt.exists("AUPRC_best"):
+        raw = trainer.ckpt.restore("AUPRC_best")
+        trainer.variables = {"params": raw["params"],
+                             "batch_stats": raw.get("batch_stats")}
+        best = {"AUPRC": float(raw.get("best_auprc", float("nan")))}
+        baseline = float("nan")
     else:
-        ev = trainer.make_eval_step()
-        base = batched_valid(
-            val_ds, lambda im: ev(trainer.variables, im)[1])
-    baseline = base["AUPRC"] if base else float("nan")
+        if args.model == "deeplab":
+            base = batched_valid(
+                val_ds, lambda im: trainer.eval_step(trainer.variables, im)[0])
+        else:
+            ev = trainer.make_eval_step()
+            base = batched_valid(
+                val_ds, lambda im: ev(trainer.variables, im)[1])
+        baseline = base["AUPRC"] if base else float("nan")
 
-    best = trainer.train()
+        best = trainer.train()
     out = {
         "auprc_untrained": round(baseline, 4),
         "auprc_best": round(best["AUPRC"], 4),
-        "improved": bool(best["AUPRC"] > baseline + 0.05),
+        **({"pretrain": pretrain_info} if pretrain_info else {}),
+        # on --reuse the untrained baseline is not re-measured (nan): fall
+        # back to "the stored best is far above chance"
+        "improved": bool(best["AUPRC"] > baseline + 0.05
+                         if baseline == baseline else best["AUPRC"] > 0.1),
     }
 
     # ---- stage attribution: per-epoch val AUPRC split by stage -------------
@@ -235,26 +337,18 @@ def main():
         import jax.numpy as jnp
 
         from multishiftseg_tpu.evals.ood_metrics import eval_ood_measure
+        from multishiftseg_tpu.models.maskformer import inference
 
         raw = trainer.ckpt.restore("AUPRC_best")
         variables = {"params": raw["params"],
                      "batch_stats": raw.get("batch_stats")}
 
-        modes = {
-            "bilinear": dict(deform_sample_mode="bilinear"),
-            "nearest": dict(deform_sample_mode="nearest"),
-            "shared": dict(deform_sample_mode="shared"),
-            "int8_table": dict(quantize_deform_table=True),
-        }
-        from multishiftseg_tpu.models.maskformer import inference
-
-        table = {}
-        for mode_name, overrides in modes.items():
-            m = model.clone(**overrides)
-
+        def exact_metrics(m, vs):
+            """EXACT OOD metrics of model ``m`` with variables ``vs`` on the
+            held-out anomaly set (the qualification measurement)."""
             @jax.jit
-            def score_fn(variables, img, m=m):
-                outputs = m.apply(variables, img, train=False)
+            def score_fn(vs, img):
+                outputs = m.apply(vs, img, train=False)
                 _, anomaly = inference(outputs, img.shape[1:3],
                                        num_classes=m.num_classes)
                 return anomaly
@@ -262,17 +356,72 @@ def main():
             scores, gts = [], []
             for i in range(len(val_ds)):
                 img, tgt = val_ds[i][:2]
-                a = np.asarray(score_fn(variables, jnp.asarray(img[None])))[0]
+                a = np.asarray(score_fn(vs, jnp.asarray(img[None])))[0]
                 scores.append(a.reshape(-1))
                 gts.append(np.asarray(tgt).reshape(-1))
-            res = eval_ood_measure(np.concatenate(scores), np.concatenate(gts))
-            table[mode_name] = {"AUROC": round(res[0], 5),
-                                "AUPRC": round(res[1], 5),
-                                "FPR_TPR95": round(res[2], 5)}
+            res = eval_ood_measure(np.concatenate(scores),
+                                   np.concatenate(gts))
+            return {"AUROC": round(res[0], 5), "AUPRC": round(res[1], 5),
+                    "FPR_TPR95": round(res[2], 5)}
+
+        modes = {
+            "bilinear": dict(deform_sample_mode="bilinear"),
+            "nearest": dict(deform_sample_mode="nearest"),
+            "shared": dict(deform_sample_mode="shared"),
+            "int8_table": dict(quantize_deform_table=True),
+            # top-K point pruning: error bounded by the dropped softmax mass
+            # (J = n_levels * n_points = 12 candidate points per head)
+            "nearest_top6": dict(deform_sample_mode="nearest_top6"),
+            "nearest_top8": dict(deform_sample_mode="nearest_top8"),
+        }
+        E = model.transformer_enc_layers
+        if E >= 2:
+            # per-layer hybrids: approximation injected LATE propagates
+            # through fewer downstream layers
+            modes["hybrid_nearest_shared"] = dict(deform_sample_mode=(
+                ("nearest",) * (E // 2) + ("shared",) * (E - E // 2)))
+            modes["hybrid_nearest_top6"] = dict(deform_sample_mode=(
+                ("nearest",) * (E // 2) + ("nearest_top6",) * (E - E // 2)))
+            modes["hybrid_exact_nearest"] = dict(deform_sample_mode=(
+                ("bilinear",) * (E // 2) + ("nearest",) * (E - E // 2)))
+        table = {name: exact_metrics(model.clone(**ov), variables)
+                 for name, ov in modes.items()}
         ref = table["bilinear"]
-        for mode_name in ("nearest", "shared", "int8_table"):
-            table[mode_name]["delta_vs_bilinear"] = {
-                k: round(table[mode_name][k] - ref[k], 5) for k in ref}
+
+        def add_delta(name):
+            table[name]["delta_vs_bilinear"] = {
+                k: round(table[name][k] - ref[k], 5) for k in ref}
+
+        for mode_name in [k for k in table if k != "bilinear"]:
+            add_delta(mode_name)
+
+        # ---- shared-mode deployment calibration (--adapt_shared N) --------
+        # The r5 gate measured raw shared sampling far outside the ±0.5-pt
+        # budget (AUPRC −16pt): trained heads sample genuinely different
+        # locations, so collapsing them to a centroid needs the downstream
+        # weights to recalibrate. Fine-tune WITH shared sampling active from
+        # the best checkpoint, then re-gate the ADAPTED checkpoint against
+        # the ORIGINAL exact-bilinear metrics — the production contract is
+        # "fast path + calibration ≈ exact path".
+        if args.adapt_shared:
+            from multishiftseg_tpu.train.m2f_trainer import TrainM2FOOD
+
+            cfg_a = demo_cfg("learning_demo_adapt", args.adapt_shared, 0)
+            tr2 = TrainM2FOOD(cfg_a,
+                              model=model.clone(deform_sample_mode="shared"))
+            tr2.variables = {"params": raw["params"],
+                             "batch_stats": raw.get("batch_stats")}
+            tr2.train()
+            raw2 = tr2.ckpt.restore("AUPRC_best")
+            vs2 = {"params": raw2["params"],
+                   "batch_stats": raw2.get("batch_stats")}
+            table["shared_adapted"] = exact_metrics(
+                model.clone(deform_sample_mode="shared"), vs2)
+            table["shared_adapted"]["adapt_epochs"] = args.adapt_shared
+            add_delta("shared_adapted")
+            # does calibration cost the exact path? (informational)
+            table["bilinear_after_adapt"] = exact_metrics(model, vs2)
+            add_delta("bilinear_after_adapt")
         out["sampling_qualification"] = table
 
     print(json.dumps(out))
