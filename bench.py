@@ -77,9 +77,13 @@ def bench_m2f():
     # docstring); BENCH_DEFORM_MODE=bilinear measures the exact op instead.
     # BENCH_INT8=1 additionally stores the deformable value table in int8
     # (independently qualified; the two fast paths compose).
+    mode_env = os.environ.get("BENCH_DEFORM_MODE", "nearest")
+    # comma syntax = per-encoder-layer hybrid (same as test_runner --sample_mode)
+    mode_val = (tuple(s.strip() for s in mode_env.split(","))
+                if "," in mode_env else mode_env)
     model = MaskFormer(
         num_classes=19, backbone="resnet50", dtype=jnp.bfloat16,
-        deform_sample_mode=os.environ.get("BENCH_DEFORM_MODE", "nearest"),
+        deform_sample_mode=mode_val,
         quantize_deform_table=os.environ.get("BENCH_INT8", "") == "1",
     )
     img = jnp.zeros((BATCH, H, W, 3), jnp.float32)
@@ -97,6 +101,8 @@ def bench_m2f():
     # the metric name carries the sampling mode — an approximate number must
     # never masquerade as the exact op (and vice versa)
     mode = model.deform_sample_mode
+    if isinstance(mode, tuple):  # hybrid: name carries the per-layer recipe
+        mode = "hybrid_" + "_".join(mode)
     tag = "" if mode == "bilinear" else f"_approx_{mode}"
     if model.quantize_deform_table:
         tag += "_int8"

@@ -31,6 +31,7 @@ def test_prompt_hash_deterministic():
     assert a.min() >= 0 and a.max() < 1024
 
 
+@pytest.mark.slow
 def test_diffusion_training_reduces_loss():
     model = SegCondUNet(**TINY)
     rng = np.random.RandomState(0)
@@ -112,6 +113,7 @@ def test_segmenter_learns_box_prompting():
     assert iou > 0.8
 
 
+@pytest.mark.slow
 def test_generation_e2e_with_real_backends(tmp_path):
     """The full MultiShiftGenerator.run() path through REAL models: JAX diffusion
     backend (DDIM, classifier-free guidance) + trained promptable segmenter; output
@@ -160,6 +162,7 @@ def test_generation_e2e_with_real_backends(tmp_path):
     assert (label == 0).sum() > 0  # rest untouched
 
 
+@pytest.mark.slow
 def test_train_backends_drivers(tmp_path):
     """The CLI training drivers run end-to-end on synthetic data: walk the
     Cityscapes color-pair layout, take real optimizer steps, save checkpoints."""
@@ -198,6 +201,7 @@ def test_train_backends_drivers(tmp_path):
     assert CheckpointManager(str(tmp_path / "out2")).exists("segmenter_last")
 
 
+@pytest.mark.slow
 def test_diffusion_training_palette_and_paste(tmp_path):
     """Round-4 diffusion-training fixes: (a) training conditions on the
     ADE20K-remapped palette — the palette ``MultiShiftGenerator.generate``
@@ -254,6 +258,7 @@ def test_diffusion_training_palette_and_paste(tmp_path):
     assert np.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_generation_e2e_with_pretrained_weight_stack(tmp_path):
     """MultiShiftGenerator.run() through the PRETRAINED-WEIGHT backend family at
     tiny configs (random init): SDControlNetGenerator (SD UNet + ControlNet

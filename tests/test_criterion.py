@@ -76,6 +76,7 @@ def test_criterion_runs_and_is_finite(rng, ood_loss):
     assert expected == set(losses.keys())
 
 
+@pytest.mark.slow
 def test_criterion_gradients_flow(rng):
     cfg = CriterionConfig(num_classes=5, num_points=64, ood_loss="RCL")
     outputs = _tiny_outputs(rng)
@@ -93,6 +94,7 @@ def test_criterion_gradients_flow(rng):
         assert np.abs(arr).sum() > 0, name
 
 
+@pytest.mark.slow
 def test_perfect_prediction_has_low_mask_loss(rng):
     """Queries that exactly predict the class masks should yield near-zero mask/dice."""
     k, b, h, w = 3, 2, 32, 32
@@ -165,6 +167,7 @@ def test_uncertain_point_coords_semantics():
     assert (coords >= 0).all() and (coords <= 1).all()
 
 
+@pytest.mark.slow
 def test_plain_loss_masks_path(rng):
     """mask_loss_with_pixel_selection=False selects the plain uncertainty-sampled
     loss_masks (reference get_loss, criterion.py:420-425)."""

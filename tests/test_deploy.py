@@ -96,6 +96,7 @@ def _roundtrip(fwd, variables, tmp_path, h=48, w=40, bh=64, bw=64):
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_export_serving_roundtrip_deeplab(tmp_path):
     model = DeepWV3Plus(num_classes=19, **TINY_TRUNK)
     variables = jax.jit(model.init, static_argnames=("train",))(
@@ -108,6 +109,7 @@ def test_export_serving_roundtrip_deeplab(tmp_path):
     _roundtrip(fwd, variables, tmp_path)
 
 
+@pytest.mark.slow
 def test_multiplatform_export(tmp_path):
     """One artifact lowered for both cpu and tpu (TPU fleet + CPU canaries)
     from a CPU-only host; still runnable here and unchanged numerically."""
@@ -131,6 +133,7 @@ def test_multiplatform_export(tmp_path):
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_export_serving_roundtrip_m2f(tmp_path, monkeypatch):
     # the MSS_DEBUG_BOUNDS jax.debug.callback (suite-wide via conftest) is a
     # host callback — unserializable by design; production export runs with

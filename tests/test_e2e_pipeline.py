@@ -11,6 +11,10 @@ from PIL import Image
 from multishiftseg_tpu.core.config import load_config
 from multishiftseg_tpu.models.deeplab import DeepWV3Plus
 
+# every test here trains/evaluates real models end-to-end (durations in
+# pyproject); the core lane (pytest -m 'not slow') skips the whole module
+pytestmark = pytest.mark.slow
+
 TINY_TRUNK = dict(
     trunk_structure=(1, 1, 1, 1, 1, 1),
     trunk_channels=((8, 8), (8, 8), (16, 16), (16, 16), (8, 16, 32), (16, 32, 64)),

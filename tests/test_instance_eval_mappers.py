@@ -214,6 +214,7 @@ def test_registry_panoptic(tmp_path):
     assert "t_pan" in DatasetCatalog.list()
 
 
+@pytest.mark.slow
 def test_model_to_instance_ap_end_to_end():
     """The full instance path: vanilla-decoder MaskFormer forward ->
     instance_inference -> InstanceSegEvaluator, on a scene the model is

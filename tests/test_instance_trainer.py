@@ -49,6 +49,7 @@ def test_clip_targets_keeps_largest():
     assert (out.id_map[6:9] == 1).all()   # renumbered
 
 
+@pytest.mark.slow
 def test_instance_trainer_e2e(fake_instance_data, tmp_path, monkeypatch):
     from multishiftseg_tpu.data.registry import DatasetCatalog
     from multishiftseg_tpu.models.maskformer import MaskFormer
@@ -134,6 +135,7 @@ def fake_panoptic_data(tmp_path):
     return str(city)
 
 
+@pytest.mark.slow
 def test_panoptic_trainer_e2e(fake_panoptic_data, tmp_path, monkeypatch):
     from multishiftseg_tpu.data.registry import DatasetCatalog
     from multishiftseg_tpu.models.maskformer import MaskFormer
@@ -200,6 +202,7 @@ def fake_semantic_data(tmp_path):
     return str(city)
 
 
+@pytest.mark.slow
 def test_semantic_trainer_e2e(fake_semantic_data, tmp_path, monkeypatch):
     """Vanilla semantic M2F (the reference's maskformer2_R50_bs16_90k family,
     unwired there): ood_finetune False routes to TrainM2FInstance in the

@@ -26,6 +26,7 @@ def test_standard_transformer_decoder(rng):
     assert len(out["aux_outputs"]) == 1
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("depth,chans", [(18, 512), (152, 2048)])
 def test_resnet_depths(rng, depth, chans):
     model = ResNet(depth=depth)

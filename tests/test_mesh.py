@@ -127,6 +127,7 @@ def _tiny_deeplab():
     )
 
 
+@pytest.mark.slow
 def test_spatial_sharding_deeplab_matches_unsharded():
     """Height-sharded whole-image eval (core/mesh.py::spatial_sharding): XLA
     SPMD's halo exchanges + collectives must reproduce the single-device
@@ -154,6 +155,7 @@ def test_spatial_sharding_deeplab_matches_unsharded():
                                rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_spatial_sharding_m2f_matches_unsharded():
     """The flagship path under spatial sharding: backbone convs (halo
     exchange), flattened-token deformable encoder + GMA decoder (gathers over
@@ -186,6 +188,7 @@ def test_spatial_sharding_m2f_matches_unsharded():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_deeplab_matches_unsharded():
     """Real TP: large kernels + their channel vectors sharded over the model
     axis (params live partitioned in memory), XLA SPMD partitions the
@@ -218,6 +221,7 @@ def test_tensor_parallel_deeplab_matches_unsharded():
                                rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_train_step():
     """One real DeepLab train step on a (data=2, model=4) mesh with
     TP-sharded params: Adam moments inherit the param shardings, gradients

@@ -25,6 +25,7 @@ def _feats(rng, n=1, base=8):
     }
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("trunk", ["seresnext-50", "resnet-50"])
 def test_deepv3_generic_builds(rng, trunk):
     model = DeepV3Plus(num_classes=19, trunk=trunk)
@@ -46,6 +47,7 @@ def test_fpn_decoders(rng, cls):
     assert multi[0].shape[1] == 8  # coarsest first
 
 
+@pytest.mark.slow
 def test_maskformer_vanilla_predictor(rng):
     model = MaskFormer(num_classes=5, hidden_dim=64, num_queries=8, nheads=4,
                        dim_feedforward=128, dec_layers=3, mask_dim=64,
@@ -58,6 +60,7 @@ def test_maskformer_vanilla_predictor(rng):
     assert out["pred_masks"].shape == (1, 8, 16, 32)
 
 
+@pytest.mark.slow
 def test_maskformer_fpn_pixel_decoder(rng):
     model = MaskFormer(num_classes=5, hidden_dim=64, num_queries=8, nheads=4,
                        dim_feedforward=128, dec_layers=3, mask_dim=64,
@@ -68,6 +71,7 @@ def test_maskformer_fpn_pixel_decoder(rng):
     assert "pred_logits_ood" in out
 
 
+@pytest.mark.slow
 def test_swin_backbone_shapes(rng):
     cfg = dict(SWIN_CONFIGS["tiny"])
     cfg["depths"] = (1, 1, 2, 1)

@@ -165,6 +165,7 @@ def test_debug_bounds_gate(rng, monkeypatch):
         jax.block_until_ready(_flat_row_gather(tab, jnp.asarray([0, 3, 10])))
 
 
+@pytest.mark.slow
 def test_bf16_scatter_grad_gate(rng, monkeypatch):
     """MSS_BF16_SCATTER=1 value-grad accumulation stays within bf16-level error
     of the exact f32 scatter (the accuracy gate for the training fast path)."""

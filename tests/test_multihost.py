@@ -28,6 +28,10 @@ import numpy as np
 import pytest
 from PIL import Image
 
+# every test here trains/evaluates real models end-to-end (durations in
+# pyproject); the core lane (pytest -m 'not slow') skips the whole module
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
 

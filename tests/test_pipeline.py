@@ -86,6 +86,7 @@ def test_gpipe_forward_matches_sequential(pipe, n_micro, dp):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_gpipe_train_step_grads_match_sequential():
     """A full pp training step differentiates: grads w.r.t. the stage-sharded
     stacked params equal the sequential loop's grads (stacked)."""

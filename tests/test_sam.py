@@ -41,6 +41,7 @@ def tiny():
     return cfg, params, skipped
 
 
+@pytest.mark.slow
 def test_converter_structure_matches_init(tiny):
     cfg, params, skipped = tiny
     x = jnp.zeros((1, cfg.img_size, cfg.img_size, 3))
@@ -162,6 +163,7 @@ def test_box_prompt_embedding_formula(tiny):
         np.asarray(params["prompt_encoder"]["no_mask_embed"]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_predictor_end_to_end(tiny):
     cfg, params, _ = tiny
     pred = SamPredictor(params, cfg)

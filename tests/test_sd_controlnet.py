@@ -170,6 +170,7 @@ def jax_pair(torch_pair):
     return SDUNet(cfg), unet_params, ControlNetBranch(cfg), ctrl_params
 
 
+@pytest.mark.slow
 def test_unet_golden_parity_no_control(torch_pair, jax_pair):
     import torch
 

@@ -77,6 +77,7 @@ def _make_ref(ref_swin_mod, name):
     return m
 
 
+@pytest.mark.slow
 def test_swin_tiny_forward_parity(ref_swin_mod, rng):
     import torch
 

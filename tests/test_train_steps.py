@@ -27,6 +27,7 @@ def _tiny_deeplab():
     return model, variables
 
 
+@pytest.mark.slow
 def test_trainable_mask_substring_semantics():
     _, variables = _tiny_deeplab()
     mask = trainable_mask(variables["params"], ("ood_head",))
@@ -99,6 +100,7 @@ def _tiny_m2f():
     return model, variables
 
 
+@pytest.mark.slow
 def test_m2f_stage2_step_with_official_loss():
     from multishiftseg_tpu.losses.criterion import set_criterion
 
@@ -155,6 +157,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored["epoch"]) == 7
 
 
+@pytest.mark.slow
 def test_instance_training_step_through_mappers():
     """Closing the mappers -> criterion loop end-to-end: a panoptic-style sample
     with duplicate classes goes mapper -> padded SegmentTargets ->
@@ -208,6 +211,7 @@ def test_instance_training_step_through_mappers():
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+@pytest.mark.slow
 def test_swin_stage1_step_runs():
     """Swin backbones have NO BatchNorm (batch_stats is None) and class_embed2
     is a weight COPY, not an alias: both used to break the donated stage-1 step
@@ -246,6 +250,7 @@ def test_swin_stage1_step_runs():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_swin_stage2_step_runs():
     """The official-loss stage-2 step (matcher + criterion + AdamW groups) with
     a Swin backbone: batch_stats is None through the whole donated step."""
