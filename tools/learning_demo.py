@@ -119,6 +119,12 @@ def main():
                     help="m2f: after training, measure exact OOD metrics on "
                          "the best checkpoint under bilinear / nearest / "
                          "shared / int8-table deformable sampling")
+    ap.add_argument("--n_val", type=int, default=6,
+                    help="anomaly val images. Per-image seeds (900+i) make "
+                         "enlargement stable: the first 6 stay identical, so "
+                         "a --reuse'd checkpoint (selected on those 6) can be "
+                         "re-qualified on a larger held-out set for tighter "
+                         "delta statistics")
     ap.add_argument("--enc_layers", type=int, default=1,
                     help="m2f deformable encoder depth (>1 makes per-layer "
                          "HYBRID sampling modes measurable in the "
@@ -149,7 +155,7 @@ def main():
 
     logging.basicConfig(level=logging.WARNING, stream=sys.stderr)
     work = Path(args.workdir or tempfile.mkdtemp(prefix="learning_demo_"))
-    roots = build_data(work)
+    roots = build_data(work, n_val=args.n_val)
 
     import os
 
@@ -343,9 +349,12 @@ def main():
         variables = {"params": raw["params"],
                      "batch_stats": raw.get("batch_stats")}
 
-        def exact_metrics(m, vs):
+        per_image = {}  # mode -> (list of per-image scores, shared gts)
+
+        def exact_metrics(m, vs, mode_name=None):
             """EXACT OOD metrics of model ``m`` with variables ``vs`` on the
-            held-out anomaly set (the qualification measurement)."""
+            held-out anomaly set (the qualification measurement). Per-image
+            score arrays are retained for the paired bootstrap below."""
             @jax.jit
             def score_fn(vs, img):
                 outputs = m.apply(vs, img, train=False)
@@ -359,10 +368,37 @@ def main():
                 a = np.asarray(score_fn(vs, jnp.asarray(img[None])))[0]
                 scores.append(a.reshape(-1))
                 gts.append(np.asarray(tgt).reshape(-1))
+            if mode_name is not None:
+                per_image[mode_name] = (scores, gts)
             res = eval_ood_measure(np.concatenate(scores),
                                    np.concatenate(gts))
             return {"AUROC": round(res[0], 5), "AUPRC": round(res[1], 5),
                     "FPR_TPR95": round(res[2], 5)}
+
+        def bootstrap_delta_ci(mode_name, n_boot=100, seed=17):
+            """Paired 95% CI of (mode - bilinear) metric deltas: resample the
+            val IMAGES with replacement, using the SAME resample indices for
+            both modes, and take percentiles of the per-resample deltas. A CI
+            straddling 0 means the val set cannot resolve the mode's delta at
+            that metric — the binding adjudication is then the per-checkpoint
+            release gate on real weights (tools/validate_release.py)."""
+            sc_m, gt = per_image[mode_name]
+            sc_b, _ = per_image["bilinear"]
+            n = len(gt)
+            rng_b = np.random.RandomState(seed)
+            deltas = {"AUROC": [], "AUPRC": [], "FPR_TPR95": []}
+            for _ in range(n_boot):
+                idx = rng_b.randint(0, n, n)
+                g = np.concatenate([gt[i] for i in idx])
+                rm = eval_ood_measure(
+                    np.concatenate([sc_m[i] for i in idx]), g)
+                rb = eval_ood_measure(
+                    np.concatenate([sc_b[i] for i in idx]), g)
+                for k, j in (("AUROC", 0), ("AUPRC", 1), ("FPR_TPR95", 2)):
+                    deltas[k].append(rm[j] - rb[j])
+            return {k: [round(float(np.percentile(v, 2.5)), 5),
+                        round(float(np.percentile(v, 97.5)), 5)]
+                    for k, v in deltas.items()}
 
         modes = {
             "bilinear": dict(deform_sample_mode="bilinear"),
@@ -384,13 +420,16 @@ def main():
                 ("nearest",) * (E // 2) + ("nearest_top6",) * (E - E // 2)))
             modes["hybrid_exact_nearest"] = dict(deform_sample_mode=(
                 ("bilinear",) * (E // 2) + ("nearest",) * (E - E // 2)))
-        table = {name: exact_metrics(model.clone(**ov), variables)
+        table = {name: exact_metrics(model.clone(**ov), variables,
+                                     mode_name=name)
                  for name, ov in modes.items()}
         ref = table["bilinear"]
 
         def add_delta(name):
             table[name]["delta_vs_bilinear"] = {
                 k: round(table[name][k] - ref[k], 5) for k in ref}
+            if name in per_image:
+                table[name]["delta_ci95"] = bootstrap_delta_ci(name)
 
         for mode_name in [k for k in table if k != "bilinear"]:
             add_delta(mode_name)
