@@ -92,10 +92,16 @@ def bench_m2f():
     )
     variables, img = _noise_like(variables, img)
 
+    # BENCH_SCORE_LOWRES=1: score the anomaly branch at mask resolution and
+    # upsample the score map (models.maskformer.inference score_lowres) —
+    # approximate, checkpoint-qualified like the sampling modes.
+    score_lowres = os.environ.get("BENCH_SCORE_LOWRES", "") == "1"
+
     @jax.jit
     def fwd(variables, img):
         outputs = model.apply(variables, img, train=False)
-        sem, anomaly = inference(outputs, img.shape[1:3])
+        sem, anomaly = inference(outputs, img.shape[1:3],
+                                 score_lowres=score_lowres)
         return anomaly
 
     # the metric name carries the sampling mode — an approximate number must
@@ -106,6 +112,8 @@ def bench_m2f():
     tag = "" if mode == "bilinear" else f"_approx_{mode}"
     if model.quantize_deform_table:
         tag += "_int8"
+    if score_lowres:
+        tag += "_lowres"
     return f"m2f_r50{tag}_eval_1024x2048", fwd, variables, img
 
 

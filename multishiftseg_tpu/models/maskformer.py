@@ -174,20 +174,42 @@ def semantic_inference(
 
 
 def inference(
-    outputs: Dict[str, jax.Array], image_hw: Tuple[int, int], num_classes: int = 19
+    outputs: Dict[str, jax.Array], image_hw: Tuple[int, int],
+    num_classes: int = 19, score_lowres: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full eval path: upsample both mask heads to the padded image size, compute
     semantic logits [N, K, H, W] (first K channels) and the anomaly score [N, H, W].
 
     The caller crops padding off afterwards (reference crops via ``sem_seg_postprocess``
     / ``get_anomaly_score``'s ``[:size[0], :size[1]]``).
+
+    ``score_lowres=True`` is an APPROXIMATE fast path for the anomaly branch:
+    the score is computed at the mask head's native resolution (stride 4) and
+    the resulting [N, h, w] score MAP is bilinearly upsampled, instead of
+    upsampling all Q=100 per-query mask logit planes before scoring. The
+    sigmoid between the (linear) resize and the (linear) query einsum makes
+    the reordering inexact — it softens the score only at mask boundaries —
+    so like the approximate sampling modes it must be accuracy-qualified on a
+    trained checkpoint before production use (tools/learning_demo.py
+    --qualify_sampling; per-checkpoint gate in tools/validate_release.py).
+    The exact path resizes [N, 100, 1024, 2048] f32 twice (masks + sigmoid +
+    einsum read ~2.5 GB of HBM traffic at the benchmark resolution); the
+    fast path does all scoring at 1/16 the pixels and resizes one plane.
+    The semantic branch is unchanged (mIoU datasets keep exact parity).
     """
     masks_up = resize_bilinear_nchw(
         outputs["pred_masks"], image_hw, align_corners=False
     )
     sem = semantic_inference(outputs["pred_logits"], masks_up, num_classes)
-    masks_ood_up = resize_bilinear_nchw(
-        outputs["pred_masks_ood"], image_hw, align_corners=False
-    )
-    anomaly = mask2former_anomaly_score(outputs["pred_logits_ood"], masks_ood_up)
+    if score_lowres:
+        anomaly_low = mask2former_anomaly_score(
+            outputs["pred_logits_ood"], outputs["pred_masks_ood"]
+        )
+        anomaly = resize_bilinear_nchw(anomaly_low, image_hw,
+                                       align_corners=False)
+    else:
+        masks_ood_up = resize_bilinear_nchw(
+            outputs["pred_masks_ood"], image_hw, align_corners=False
+        )
+        anomaly = mask2former_anomaly_score(outputs["pred_logits_ood"], masks_ood_up)
     return sem, anomaly

@@ -315,7 +315,8 @@ def check_sampling_qualification(weight_path: Optional[str],
 
 def build_m2f_forward(cfg: Config, weight_path: Optional[str],
                       spatial_devices: int = 0, sample_mode: str = "bilinear",
-                      enforce_qualification: bool = True):
+                      enforce_qualification: bool = True,
+                      score_lowres: bool = False):
     """``sample_mode``: 'bilinear' (exact, reference parity — the default and
     the certified path), or an accuracy-measured fast path: 'nearest'
     (approximate sampling), 'nearest_top{T}' (top-T point pruning, fastest
@@ -332,6 +333,11 @@ def build_m2f_forward(cfg: Config, weight_path: Optional[str],
     (tools/validate_release.py + check_sampling_qualification below) the
     moment real weights/datasets are available.
 
+    ``score_lowres=True`` scores the anomaly branch at mask resolution and
+    upsamples the score map (see ``models.maskformer.inference``) — an
+    approximate fast path gated exactly like the sampling modes, under the
+    qualification key ``{sample_mode}+lowres``.
+
     ``enforce_qualification=False`` bypasses the per-checkpoint refusal gate
     — for the qualification measurement itself (tools/validate_release.py),
     which must be able to re-measure a previously-refused mode."""
@@ -339,13 +345,20 @@ def build_m2f_forward(cfg: Config, weight_path: Optional[str],
     from ..train.m2f_trainer import TrainM2FOOD
 
     if enforce_qualification:
-        check_sampling_qualification(weight_path, sample_mode)
+        qual_key = sample_mode + ("+lowres" if score_lowres else "")
+        check_sampling_qualification(weight_path, qual_key)
     trainer = TrainM2FOOD(cfg, weight_path)
     model, variables = trainer.model, trainer.variables
     def _valid(mode: str) -> bool:
-        return (mode in ("bilinear", "nearest", "shared")
-                or (mode.startswith("nearest_top")
-                    and mode[len("nearest_top"):].isdigit()))
+        if mode in ("bilinear", "nearest", "shared"):
+            return True
+        if mode.startswith("nearest_top"):
+            # nearest_top{T} (renormalized pruning) or nearest_top{T}c
+            # (centroid-tail-corrected pruning, see ops/ms_deform_attn.py)
+            spec = mode[len("nearest_top"):]
+            return spec.isdigit() or (spec.endswith("c")
+                                      and spec[:-1].isdigit())
+        return False
 
     if sample_mode == "int8":
         model = model.clone(quantize_deform_table=True)
@@ -365,7 +378,8 @@ def build_m2f_forward(cfg: Config, weight_path: Optional[str],
     def fwd(variables, img):
         outputs = model.apply(variables, img, train=False)
         sem, anomaly = inference(outputs, img.shape[1:3],
-                                 num_classes=num_classes)
+                                 num_classes=num_classes,
+                                 score_lowres=score_lowres)
         return anomaly, sem
 
     if spatial_devices:
@@ -413,6 +427,11 @@ def main():
                              "certification via tools/validate_release.py); "
                              "a comma-separated list gives a per-encoder-"
                              "layer hybrid; shared = measured-refused")
+    parser.add_argument("--score_lowres", action="store_true",
+                        help="m2f: score the anomaly branch at mask "
+                             "resolution and upsample the score map "
+                             "(approximate; qualified per checkpoint under "
+                             "the '<sample_mode>+lowres' key)")
     args = parser.parse_args()
 
     from ..utils import enable_compilation_cache
@@ -426,7 +445,8 @@ def main():
     else:
         fwd = build_m2f_forward(cfg, args.weight_path,
                                 spatial_devices=args.spatial,
-                                sample_mode=args.sample_mode)
+                                sample_mode=args.sample_mode,
+                                score_lowres=args.score_lowres)
 
     d = cfg.data
     roots = {

@@ -361,3 +361,48 @@ def test_inference_parity(torch_side, jax_out):
                                atol=2e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(anomaly_j[0]), anomaly_t[0].numpy(),
                                atol=2e-3, rtol=1e-3)
+
+
+def test_inference_score_lowres(rng):
+    """The low-res anomaly fast path (score at mask resolution, upsample the
+    score map): same output shape, EXACT on spatially-constant masks (where
+    sigmoid commutes with resize), and close to the exact path on smooth
+    mask logits (the boundary-softening approximation it trades on)."""
+    import jax.numpy as jnp
+
+    from multishiftseg_tpu.models.maskformer import inference
+
+    B, Q, h, w = 1, 5, 16, 32
+    hw_out = (64, 128)
+    logits = rng.randn(B, Q, NUM_CLASSES + 1).astype(np.float32)
+
+    # spatially constant masks -> resize is exact -> paths identical
+    const = np.broadcast_to(
+        rng.randn(B, Q, 1, 1).astype(np.float32), (B, Q, h, w)).copy()
+    out_const = {
+        "pred_masks": jnp.asarray(const), "pred_logits": jnp.asarray(logits),
+        "pred_masks_ood": jnp.asarray(const),
+        "pred_logits_ood": jnp.asarray(logits),
+    }
+    _, a_exact = inference(out_const, hw_out, num_classes=NUM_CLASSES)
+    _, a_low = inference(out_const, hw_out, num_classes=NUM_CLASSES,
+                         score_lowres=True)
+    assert a_low.shape == a_exact.shape
+    np.testing.assert_allclose(np.asarray(a_low), np.asarray(a_exact),
+                               atol=1e-5, rtol=1e-5)
+
+    # smooth masks: approximate but close (mean |delta| well under the score's
+    # dynamic range; the delta concentrates at mask boundaries)
+    gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
+    smooth = np.stack([np.sin(gy / 4 + q) + np.cos(gx / 6 - q)
+                       for q in range(Q)])[None] * 2.0
+    out_smooth = {
+        "pred_masks": jnp.asarray(smooth), "pred_logits": jnp.asarray(logits),
+        "pred_masks_ood": jnp.asarray(smooth),
+        "pred_logits_ood": jnp.asarray(logits),
+    }
+    _, a_exact = inference(out_smooth, hw_out, num_classes=NUM_CLASSES)
+    _, a_low = inference(out_smooth, hw_out, num_classes=NUM_CLASSES,
+                         score_lowres=True)
+    diff = np.abs(np.asarray(a_low) - np.asarray(a_exact))
+    assert diff.mean() < 0.01, diff.mean()

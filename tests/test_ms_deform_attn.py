@@ -454,6 +454,117 @@ def test_nearest_topk_exact_when_mass_concentrated(rng):
     np.testing.assert_allclose(ours, nearest, rtol=1e-4, atol=1e-5)
 
 
+def _nearest_topkc_numpy_oracle(value, shapes, loc, attn, top):
+    """Independent numpy implementation of nearest_top{T}c: kept top-T points
+    keep their EXACT weights; each (head, level)'s dropped tail is one
+    nearest-sampled row at its weighted centroid carrying the tail mass."""
+    n, s, m, d = value.shape
+    _, lq, _, L, p, _ = loc.shape
+    offs = np.concatenate([[0], np.cumsum([h * w for h, w in shapes])[:-1]])
+    out = np.zeros((n, lq, m, d), np.float32)
+    for b in range(n):
+        for q in range(lq):
+            for mm in range(m):
+                w_all = np.zeros(L * p, np.float32)
+                rows = np.zeros((L * p, d), np.float32)
+                for lid, (h, w) in enumerate(shapes):
+                    for pt in range(p):
+                        j = lid * p + pt
+                        x = loc[b, q, mm, lid, pt, 0] * w - 0.5
+                        y = loc[b, q, mm, lid, pt, 1] * h - 0.5
+                        if -0.5 < x < w - 0.5 and -0.5 < y < h - 0.5:
+                            ix = int(np.clip(np.floor(x + 0.5), 0, w - 1))
+                            iy = int(np.clip(np.floor(y + 0.5), 0, h - 1))
+                            w_all[j] = attn[b, q, mm, lid, pt]
+                            rows[j] = value[b, offs[lid] + iy * w + ix, mm]
+                keep = np.argsort(-w_all, kind="stable")[:top]
+                for j in keep:
+                    out[b, q, mm] += w_all[j] * rows[j]
+                tail = np.setdiff1d(np.arange(L * p), keep)
+                for lid, (h, w) in enumerate(shapes):
+                    jj = [j for j in tail if j // p == lid]
+                    mass = float(w_all[jj].sum())
+                    if mass <= 1e-12:
+                        continue
+                    cx = float((w_all[jj] * loc[b, q, mm, lid,
+                                                [j % p for j in jj], 0]).sum()) / mass
+                    cy = float((w_all[jj] * loc[b, q, mm, lid,
+                                                [j % p for j in jj], 1]).sum()) / mass
+                    x = cx * w - 0.5
+                    y = cy * h - 0.5
+                    if -0.5 < x < w - 0.5 and -0.5 < y < h - 0.5:
+                        ix = int(np.clip(np.floor(x + 0.5), 0, w - 1))
+                        iy = int(np.clip(np.floor(y + 0.5), 0, h - 1))
+                        out[b, q, mm] += mass * value[b, offs[lid] + iy * w + ix, mm]
+    return out.reshape(n, lq, m * d)
+
+
+def test_nearest_topkc_matches_numpy_oracle(rng):
+    value, loc, attn = _inputs(rng)
+    for top in (2, 4):
+        ours = np.asarray(ms_deform_attn_core(
+            jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(attn),
+            sample_mode=f"nearest_top{top}c"))
+        ref = _nearest_topkc_numpy_oracle(value, SHAPES, loc, attn, top)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_nearest_topkc_exact_when_mass_concentrated(rng):
+    """Zero tail mass (weight on <= T points) -> identical to plain nearest:
+    the centroid correction contributes nothing and the kept weights are
+    untouched (no renormalization in this variant)."""
+    value, loc, _ = _inputs(rng)
+    J = len(SHAPES) * P
+    top = 3
+    attn = np.zeros((N, LQ, M, J), np.float32)
+    for b in range(N):
+        for q in range(LQ):
+            for mm in range(M):
+                idx = rng.choice(J, top, replace=False)
+                w_ = rng.rand(top).astype(np.float32)
+                attn[b, q, mm, idx] = w_ / w_.sum()
+    attn = attn.reshape(N, LQ, M, len(SHAPES), P)
+    ours = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(attn),
+        sample_mode=f"nearest_top{top}c"))
+    nearest = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(attn),
+        sample_mode="nearest"))
+    np.testing.assert_allclose(ours, nearest, rtol=1e-4, atol=1e-5)
+
+
+def test_nearest_topkc_beats_plain_topk_on_smooth_maps(rng):
+    """On smooth value maps (where a tail centroid is a good surrogate for
+    its points) the centroid-corrected pruning must approximate plain
+    nearest better than renormalized pruning — the property that motivates
+    the mode (plain top-K relocates the dropped mass; outputs/r5 measured
+    that outside the accuracy budget)."""
+    s = sum(h * w for h, w in SHAPES)
+    # smooth per-level linear ramps instead of white noise
+    cols = []
+    for (h, w) in SHAPES:
+        gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
+        base = (gy / max(h - 1, 1) + gx / max(w - 1, 1))[..., None, None]
+        cols.append(np.broadcast_to(
+            base, (h, w, M, D)).reshape(h * w, M, D))
+    value = np.broadcast_to(np.concatenate(cols, 0), (N, s, M, D)).astype(np.float32)
+    value = value + rng.randn(*value.shape).astype(np.float32) * 0.01
+    _, loc, attn = _inputs(rng)
+    top = 4
+    nearest = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(attn),
+        sample_mode="nearest"))
+    plain = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(attn),
+        sample_mode=f"nearest_top{top}"))
+    corrected = np.asarray(ms_deform_attn_core(
+        jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(attn),
+        sample_mode=f"nearest_top{top}c"))
+    err_plain = np.abs(plain - nearest).mean()
+    err_corr = np.abs(corrected - nearest).mean()
+    assert err_corr < err_plain, (err_corr, err_plain)
+
+
 def test_per_layer_hybrid_sample_mode():
     """MSDeformAttnPixelDecoder accepts a per-layer mode tuple; all-same
     tuple equals the single-mode path exactly, and a wrong-length tuple is

@@ -68,9 +68,10 @@ def test_refused_fast_path_is_recorded_and_enforced(track_data, tmp_path,
 
     # mock builder: bilinear + nearest exact; 'shared' broken beyond budget
     def fake_build(cfg, wp, spatial_devices=0, sample_mode="bilinear",
-                   enforce_qualification=True):
+                   enforce_qualification=True, score_lowres=False):
         if enforce_qualification:
-            test_runner.check_sampling_qualification(wp, sample_mode)
+            test_runner.check_sampling_qualification(
+                wp, sample_mode + ("+lowres" if score_lowres else ""))
         return _mock_forward(invert=(sample_mode == "shared"))
 
     monkeypatch.setattr(test_runner, "build_m2f_forward", fake_build)

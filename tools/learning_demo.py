@@ -351,7 +351,7 @@ def main():
 
         per_image = {}  # mode -> (list of per-image scores, shared gts)
 
-        def exact_metrics(m, vs, mode_name=None):
+        def exact_metrics(m, vs, mode_name=None, score_lowres=False):
             """EXACT OOD metrics of model ``m`` with variables ``vs`` on the
             held-out anomaly set (the qualification measurement). Per-image
             score arrays are retained for the paired bootstrap below."""
@@ -359,7 +359,8 @@ def main():
             def score_fn(vs, img):
                 outputs = m.apply(vs, img, train=False)
                 _, anomaly = inference(outputs, img.shape[1:3],
-                                       num_classes=m.num_classes)
+                                       num_classes=m.num_classes,
+                                       score_lowres=score_lowres)
                 return anomaly
 
             scores, gts = [], []
@@ -409,6 +410,20 @@ def main():
             # (J = n_levels * n_points = 12 candidate points per head)
             "nearest_top6": dict(deform_sample_mode="nearest_top6"),
             "nearest_top8": dict(deform_sample_mode="nearest_top8"),
+            # centroid-tail-corrected pruning: kept weights exact, dropped
+            # tail approximated at its weighted centroid (one extra row per
+            # head x level) — built because the r5 gate measured plain top-K's
+            # renormalization outside the budget (ops/ms_deform_attn.py)
+            "nearest_top4c": dict(deform_sample_mode="nearest_top4c"),
+            "nearest_top6c": dict(deform_sample_mode="nearest_top6c"),
+            # low-res scoring fast path (anomaly scored at mask resolution,
+            # score map upsampled) alone and composed with the fastest
+            # qualified sampling mode — the candidate production combos
+            "bilinear+lowres": dict(score_lowres=True),
+            "nearest+lowres": dict(deform_sample_mode="nearest",
+                                   score_lowres=True),
+            "nearest_top6c+lowres": dict(deform_sample_mode="nearest_top6c",
+                                         score_lowres=True),
         }
         E = model.transformer_enc_layers
         if E >= 2:
@@ -420,9 +435,14 @@ def main():
                 ("nearest",) * (E // 2) + ("nearest_top6",) * (E - E // 2)))
             modes["hybrid_exact_nearest"] = dict(deform_sample_mode=(
                 ("bilinear",) * (E // 2) + ("nearest",) * (E - E // 2)))
-        table = {name: exact_metrics(model.clone(**ov), variables,
-                                     mode_name=name)
-                 for name, ov in modes.items()}
+        def measure(name, ov):
+            ov = dict(ov)
+            lowres = ov.pop("score_lowres", False)
+            return exact_metrics(model.clone(**ov) if ov else model,
+                                 variables, mode_name=name,
+                                 score_lowres=lowres)
+
+        table = {name: measure(name, ov) for name, ov in modes.items()}
         ref = table["bilinear"]
 
         def add_delta(name):

@@ -56,7 +56,14 @@ def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/m2f_trace"
     from multishiftseg_tpu.models.maskformer import MaskFormer, inference
 
-    model = MaskFormer(num_classes=19, backbone="resnet50", dtype=jnp.bfloat16)
+    # MSS_PROFILE_MODE selects the deformable sampling mode (default = the
+    # exact bilinear op; "nearest" = the promoted production fast path) so the
+    # trace breakdown matches the program PERF.md's headline describes.
+    import os
+
+    mode = os.environ.get("MSS_PROFILE_MODE", "bilinear")
+    model = MaskFormer(num_classes=19, backbone="resnet50", dtype=jnp.bfloat16,
+                      deform_sample_mode=mode)
     img = jnp.zeros((1, 1024, 2048, 3), jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 128, 256, 3)), train=False
@@ -65,10 +72,13 @@ def main():
 
     variables, img = _noise_like(variables, img)
 
+    lowres = os.environ.get("MSS_PROFILE_LOWRES", "") == "1"
+
     @jax.jit
     def fwd(variables, img):
         outputs = model.apply(variables, img, train=False)
-        sem, anomaly = inference(outputs, img.shape[1:3])
+        sem, anomaly = inference(outputs, img.shape[1:3],
+                                 score_lowres=lowres)
         return anomaly
 
     iters = 3

@@ -38,8 +38,11 @@ PUBLISHED = {
     "m2f": {"AUROC": 97.94, "AUPRC": 90.17, "FPR_TPR95": 7.54},
 }
 
-# the qualified approximate eval fast paths (PERF.md; test_runner --sample_mode)
-QUAL_MODES = ("nearest", "shared", "int8")
+# the approximate eval fast paths to (re-)measure per checkpoint (PERF.md;
+# test_runner --sample_mode / --score_lowres; a '+lowres' suffix scores the
+# anomaly branch at mask resolution — see models.maskformer.inference)
+QUAL_MODES = ("nearest", "shared", "int8", "nearest_top6c",
+              "nearest+lowres", "nearest_top6c+lowres")
 
 
 def qualify_sampling_modes(cfg, weight_path, dataset_name, dataset_root,
@@ -60,8 +63,10 @@ def qualify_sampling_modes(cfg, weight_path, dataset_name, dataset_root,
            "bilinear_pts": {k: round(v, 4) for k, v in bilinear_pts.items()},
            "modes": {}}
     for mode in modes:
+        base, _, suffix = mode.partition("+")
         fwd = test_runner.build_m2f_forward(
-            cfg, weight_path, sample_mode=mode, enforce_qualification=False)
+            cfg, weight_path, sample_mode=base, enforce_qualification=False,
+            score_lowres=(suffix == "lowres"))
         ev = test_runner.OODEvaluator(cfg, fwd, {dataset_name: dataset_root},
                                       tta=tta)
         got = ev.test_all((dataset_name,)).get(dataset_name)
