@@ -175,7 +175,7 @@ def semantic_inference(
 
 def inference(
     outputs: Dict[str, jax.Array], image_hw: Tuple[int, int],
-    num_classes: int = 19, score_lowres: bool = False,
+    num_classes: int = 19, score_lowres: bool = False, score_topq: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full eval path: upsample both mask heads to the padded image size, compute
     semantic logits [N, K, H, W] (first K channels) and the anomaly score [N, H, W].
@@ -196,12 +196,37 @@ def inference(
     einsum read ~2.5 GB of HBM traffic at the benchmark resolution); the
     fast path does all scoring at 1/16 the pixels and resizes one plane.
     The semantic branch is unchanged (mIoU datasets keep exact parity).
+
+    ``score_topq=Q`` is a different anomaly-branch approximation: upsample
+    only the Q queries with the largest non-void class mass of the OOD head
+    and drop the rest (NO renormalization — the dropped contribution to
+    ``sum_q softmax_q(k) * sigmoid(mask_q)`` is bounded by the dropped
+    queries' max non-void class probability, which training drives to ~0 for
+    unmatched queries). Unlike ``score_lowres`` the score stays at full
+    resolution — no boundary softening — while the [N, Q, H, W] resize +
+    sigmoid + einsum chain shrinks Q/100. Composable with neither lowres nor
+    the sem branch; qualified per checkpoint under the ``+topq{Q}`` key.
     """
     masks_up = resize_bilinear_nchw(
         outputs["pred_masks"], image_hw, align_corners=False
     )
     sem = semantic_inference(outputs["pred_logits"], masks_up, num_classes)
-    if score_lowres:
+    if score_topq:
+        probs = jax.nn.softmax(
+            outputs["pred_logits_ood"].astype(jnp.float32), axis=-1)
+        mass = jnp.max(probs[..., :-1], axis=-1)  # [N, Q] non-void peak
+        _, q_sel = jax.lax.top_k(mass, score_topq)  # [N, Qk]
+        masks_sel = jnp.take_along_axis(
+            outputs["pred_masks_ood"], q_sel[:, :, None, None], axis=1)
+        probs_sel = jnp.take_along_axis(probs[..., :-1], q_sel[:, :, None],
+                                        axis=1)
+        masks_sel_up = resize_bilinear_nchw(masks_sel, image_hw,
+                                            align_corners=False)
+        sem_sel = jnp.einsum(
+            "bqk,bqhw->bhwk", probs_sel,
+            jax.nn.sigmoid(masks_sel_up.astype(jnp.float32)))
+        anomaly = 1.0 - jnp.max(sem_sel, axis=-1)
+    elif score_lowres:
         anomaly_low = mask2former_anomaly_score(
             outputs["pred_logits_ood"], outputs["pred_masks_ood"]
         )

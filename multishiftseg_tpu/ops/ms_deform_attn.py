@@ -248,20 +248,33 @@ def _core_forward_nearest(
     [R, 4D] x [4D, D] block-sum dot all disappear — the post-gather chain moves
     4x fewer bytes. grid_sample's zero padding is approximated by zeroing the
     attention weight of samples outside the half-pixel border.
+
+    Row order is J-MAJOR / head-minor: lane k = (l*P + p)*M + m, so the
+    gather output [R, D] is linearly [N*Lq, J, M*D] and the point-sum is a
+    contiguous block reduction straight into the op's [N, Lq, M*D] output —
+    no re-tiling of the 260 MB/layer row tensor. (The head-major order used
+    through round 4 needed a [R, D] -> [N, Lq, M, J, D] relayout the v5e
+    trace priced at 3.9 ms/layer, ~23 ms/image of the round-4 headline.)
     """
     n, s, m, d = value.shape
     _, lq, _, L, P, _ = sampling_locations.shape
     assert L == len(spatial_shapes)
     compute_dtype = value.dtype
+    J = L * P
+    K = m * J
     v = value.transpose(0, 2, 1, 3).reshape(n * m * s, d)
 
     hw = np.asarray(spatial_shapes, np.int64)
     off_np = np.concatenate([[0], np.cumsum(hw[:, 0] * hw[:, 1])[:-1]])
-    K = m * L * P
-    loc192 = sampling_locations.astype(jnp.float32).reshape(n, lq, 2 * K)
-    x96 = loc192[:, :, 0::2]
-    y96 = loc192[:, :, 1::2]
-    lane_l = (np.arange(K) // P) % L
+    # j-major lane order: one transpose of the small [N, Lq, M, L, P, 2]
+    # location tensor (vs re-tiling the huge gathered-row tensor)
+    locT = (sampling_locations.astype(jnp.float32)
+            .transpose(0, 1, 3, 4, 2, 5)  # [N, Lq, L, P, M, 2]
+            .reshape(n, lq, 2 * K))
+    x96 = locT[:, :, 0::2]  # [N, Lq, K], lane k = (l*P + p)*M + m
+    y96 = locT[:, :, 1::2]
+    lane_j = np.arange(K) // m
+    lane_l = lane_j // P
     wv96 = jnp.asarray(hw[lane_l, 1], jnp.float32)
     hv96 = jnp.asarray(hw[lane_l, 0], jnp.float32)
     x = x96 * wv96 - 0.5
@@ -270,7 +283,7 @@ def _core_forward_nearest(
     iy = jnp.clip(jnp.floor(y + 0.5), 0.0, hv96 - 1.0)
     # zero-padding analog: the nearest in-bounds pixel is >0.5 px away -> drop
     inb = (x > -0.5) & (x < wv96 - 0.5) & (y > -0.5) & (y < hv96 - 0.5)
-    m96 = jnp.asarray(np.arange(K) // (L * P), jnp.int32)
+    m96 = jnp.asarray(np.arange(K) % m, jnp.int32)
     off96 = jnp.asarray(off_np[lane_l], jnp.int32)
     wi96 = jnp.asarray(hw[lane_l, 1], jnp.int32)
     lin = (
@@ -279,11 +292,13 @@ def _core_forward_nearest(
         + iy.astype(jnp.int32) * wi96
         + ix.astype(jnp.int32)
     )
-    rows = _flat_row_gather(v, lin.reshape(-1))  # [R, D]
-    a96 = attention_weights.astype(jnp.float32).reshape(n, lq, K)
-    a = jnp.where(inb, a96, 0.0).reshape(n * lq * K, 1).astype(compute_dtype)
-    part = (rows * a).reshape(n, lq, m, L * P, d)
-    return part.sum(3, dtype=jnp.float32).reshape(n, lq, m * d).astype(compute_dtype)
+    rows = _flat_row_gather(v, lin.reshape(-1))  # [R, D], R = (n, lq, j, m)
+    aT = (attention_weights.astype(jnp.float32)
+          .transpose(0, 1, 3, 4, 2)  # [N, Lq, L, P, M]
+          .reshape(n, lq, K))
+    a = jnp.where(inb, aT, 0.0).reshape(n * lq * K, 1).astype(compute_dtype)
+    part = (rows * a).reshape(n, lq, J, m * d)  # linear view, no relayout
+    return part.sum(2, dtype=jnp.float32).astype(compute_dtype)
 
 
 def _core_forward_nearest_topk(

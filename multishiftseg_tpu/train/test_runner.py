@@ -316,7 +316,7 @@ def check_sampling_qualification(weight_path: Optional[str],
 def build_m2f_forward(cfg: Config, weight_path: Optional[str],
                       spatial_devices: int = 0, sample_mode: str = "bilinear",
                       enforce_qualification: bool = True,
-                      score_lowres: bool = False):
+                      score_lowres: bool = False, score_topq: int = 0):
     """``sample_mode``: 'bilinear' (exact, reference parity — the default and
     the certified path), or an accuracy-measured fast path: 'nearest'
     (approximate sampling), 'nearest_top{T}' (top-T point pruning, fastest
@@ -336,7 +336,13 @@ def build_m2f_forward(cfg: Config, weight_path: Optional[str],
     ``score_lowres=True`` scores the anomaly branch at mask resolution and
     upsamples the score map (see ``models.maskformer.inference``) — an
     approximate fast path gated exactly like the sampling modes, under the
-    qualification key ``{sample_mode}+lowres``.
+    qualification key ``{sample_mode}+lowres``. Compact-scale verdict
+    (outputs/r5/m2f_evidence_ci2.json): REFUSED — AUPRC −5.7 pt / FPR95
+    +10 pt; the stride-4 boundary softening is large relative to that
+    harness's 16-24 px anomalies. ``score_topq=Q`` instead upsamples only
+    the Q largest-mass OOD queries at FULL resolution (key
+    ``{sample_mode}+topq{Q}``) — the bounded-error fast path built after
+    that refusal.
 
     ``enforce_qualification=False`` bypasses the per-checkpoint refusal gate
     — for the qualification measurement itself (tools/validate_release.py),
@@ -345,7 +351,8 @@ def build_m2f_forward(cfg: Config, weight_path: Optional[str],
     from ..train.m2f_trainer import TrainM2FOOD
 
     if enforce_qualification:
-        qual_key = sample_mode + ("+lowres" if score_lowres else "")
+        qual_key = sample_mode + ("+lowres" if score_lowres else "") + (
+            f"+topq{score_topq}" if score_topq else "")
         check_sampling_qualification(weight_path, qual_key)
     trainer = TrainM2FOOD(cfg, weight_path)
     model, variables = trainer.model, trainer.variables
@@ -379,7 +386,8 @@ def build_m2f_forward(cfg: Config, weight_path: Optional[str],
         outputs = model.apply(variables, img, train=False)
         sem, anomaly = inference(outputs, img.shape[1:3],
                                  num_classes=num_classes,
-                                 score_lowres=score_lowres)
+                                 score_lowres=score_lowres,
+                                 score_topq=score_topq)
         return anomaly, sem
 
     if spatial_devices:
@@ -431,7 +439,13 @@ def main():
                         help="m2f: score the anomaly branch at mask "
                              "resolution and upsample the score map "
                              "(approximate; qualified per checkpoint under "
-                             "the '<sample_mode>+lowres' key)")
+                             "the '<sample_mode>+lowres' key; REFUSED at "
+                             "compact scale, outputs/r5)")
+    parser.add_argument("--score_topq", type=int, default=0, metavar="Q",
+                        help="m2f: upsample only the Q largest-mass OOD "
+                             "queries for the anomaly score (bounded-error "
+                             "fast path; qualified per checkpoint under the "
+                             "'<sample_mode>+topq{Q}' key)")
     args = parser.parse_args()
 
     from ..utils import enable_compilation_cache
@@ -446,7 +460,8 @@ def main():
         fwd = build_m2f_forward(cfg, args.weight_path,
                                 spatial_devices=args.spatial,
                                 sample_mode=args.sample_mode,
-                                score_lowres=args.score_lowres)
+                                score_lowres=args.score_lowres,
+                                score_topq=args.score_topq)
 
     d = cfg.data
     roots = {

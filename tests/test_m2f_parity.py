@@ -406,3 +406,35 @@ def test_inference_score_lowres(rng):
                          score_lowres=True)
     diff = np.abs(np.asarray(a_low) - np.asarray(a_exact))
     assert diff.mean() < 0.01, diff.mean()
+
+
+def test_inference_score_topq(rng):
+    """Query pruning: topq >= Q is exact (all queries kept, order-invariant
+    sum); topq < Q with the mass concentrated on few queries is exact too
+    (dropped queries carry ~zero non-void probability)."""
+    import jax.numpy as jnp
+
+    from multishiftseg_tpu.models.maskformer import inference
+
+    B, Q, h, w = 1, 8, 8, 16
+    hw_out = (32, 64)
+    masks = rng.randn(B, Q, h, w).astype(np.float32)
+    logits = rng.randn(B, Q, NUM_CLASSES + 1).astype(np.float32)
+    out = {"pred_masks": jnp.asarray(masks), "pred_logits": jnp.asarray(logits),
+           "pred_masks_ood": jnp.asarray(masks),
+           "pred_logits_ood": jnp.asarray(logits)}
+    _, a_exact = inference(out, hw_out, num_classes=NUM_CLASSES)
+    _, a_full = inference(out, hw_out, num_classes=NUM_CLASSES, score_topq=Q)
+    np.testing.assert_allclose(np.asarray(a_full), np.asarray(a_exact),
+                               atol=1e-5, rtol=1e-5)
+
+    # concentrate the non-void mass on 3 queries: the rest predict void
+    conc = np.full((B, Q, NUM_CLASSES + 1), -10.0, np.float32)
+    conc[..., NUM_CLASSES] = 10.0  # all-void...
+    for q in range(3):  # ...except three confident object queries
+        conc[0, q, q] = 20.0
+    out2 = dict(out, pred_logits_ood=jnp.asarray(conc))
+    _, a_exact2 = inference(out2, hw_out, num_classes=NUM_CLASSES)
+    _, a_top3 = inference(out2, hw_out, num_classes=NUM_CLASSES, score_topq=3)
+    np.testing.assert_allclose(np.asarray(a_top3), np.asarray(a_exact2),
+                               atol=1e-4, rtol=1e-4)

@@ -68,10 +68,12 @@ def test_refused_fast_path_is_recorded_and_enforced(track_data, tmp_path,
 
     # mock builder: bilinear + nearest exact; 'shared' broken beyond budget
     def fake_build(cfg, wp, spatial_devices=0, sample_mode="bilinear",
-                   enforce_qualification=True, score_lowres=False):
+                   enforce_qualification=True, score_lowres=False,
+                   score_topq=0):
         if enforce_qualification:
             test_runner.check_sampling_qualification(
-                wp, sample_mode + ("+lowres" if score_lowres else ""))
+                wp, sample_mode + ("+lowres" if score_lowres else "")
+                + (f"+topq{score_topq}" if score_topq else ""))
         return _mock_forward(invert=(sample_mode == "shared"))
 
     monkeypatch.setattr(test_runner, "build_m2f_forward", fake_build)

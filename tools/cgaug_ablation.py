@@ -106,6 +106,83 @@ def render_transfer_val(work: Path, n: int, h: int, w: int, seed: int = 500,
     return track
 
 
+def render_transfer_diffbg(work: Path, diffusion, val_city: Path, val_stems,
+                           h: int, w: int, seed: int = 700):
+    """Attribution track for a chance-level transfer val: held-out scenes
+    rendered through the TRAINED DIFFUSION (no anomaly in label space), with
+    the SAME solid-paste protocol as ``render_transfer_val`` applied to the
+    rendered image. If the CG-Aug arm detects solid pastes here but not on
+    the clean-rendered transfer val, the failure is BACKGROUND-DOMAIN shift
+    (the model only scores OOD against diffusion-textured backgrounds); if it
+    fails on both, the failure is ANOMALY-APPEARANCE shift (solid pastes are
+    an appearance family the 254-supervision never contained)."""
+    from multishiftseg_tpu.cgaug.generate import GenerationConfig
+    from multishiftseg_tpu.cgaug.label_ops import cityscapes_to_ade20k
+    from multishiftseg_tpu.cgaug.prompts import get_prompt
+
+    gcfg = GenerationConfig()
+    rng = np.random.default_rng(seed)
+    src = ShapeSource()
+    track = work / "val_transfer_diffbg"
+    (track / "images").mkdir(parents=True, exist_ok=True)
+    (track / "labels_masks").mkdir(parents=True, exist_ok=True)
+    for i, stem in enumerate(val_stems):
+        color = np.asarray(Image.open(
+            val_city / "gtFine" / "train" / "synth"
+            / f"{stem}_gtFine_color.png").convert("RGB"))
+        ade, _ = cityscapes_to_ade20k(color)
+        prompt, _ = get_prompt(gcfg.weathers, gcfg.places, rng)
+        img = np.asarray(diffusion.generate(ade, prompt)).copy()
+        m, _ = src.sample(rng)
+        sh = max(16, h // 4)
+        mm = np.asarray(Image.fromarray(m * 255).resize(
+            (sh, sh), Image.NEAREST)) > 127
+        y0 = int(rng.integers(2 * h // 3, h - sh)) if h - sh > 2 * h // 3 else h - sh
+        x0 = int(rng.integers(0, w - sh))
+        color_px = np.array([rng.integers(160, 255), rng.integers(0, 80),
+                             rng.integers(120, 255)], np.uint8)
+        img[y0:y0 + sh, x0:x0 + sh][mm] = color_px
+        ood = np.zeros((h, w), np.uint8)
+        ood[y0:y0 + sh, x0:x0 + sh][mm] = 1
+        Image.fromarray(img).save(track / "images" / f"val{i}.jpg")
+        Image.fromarray(ood).save(track / "labels_masks"
+                                  / f"val{i}_labels_semantic.png")
+    return track
+
+
+def compose_cleanbg_diffanom_track(work: Path, val_gen_root: Path,
+                                   val_city: Path, val_stems):
+    """The symmetric attribution track: CLEAN-rendered backgrounds with the
+    DIFFUSION-TEXTURED anomaly pixels cut from the accepted generated val
+    composites (same stem, same geometry). Detecting these but not the solid
+    pastes = the 254-supervision generalizes over backgrounds but is bound to
+    the diffusion's anomaly appearance family."""
+    track = work / "val_cleanbg_diffanom"
+    (track / "images").mkdir(parents=True, exist_ok=True)
+    (track / "labels_masks").mkdir(parents=True, exist_ok=True)
+    n = 0
+    for stem in val_stems:
+        gen_img_p = (val_gen_root / "leftImg8bit" / "train" / "synth"
+                     / f"{stem}_leftImg8bit.png")
+        gen_lbl_p = (val_gen_root / "gtFine" / "train" / "synth"
+                     / f"{stem}_gtFine_labelTrainIds.png")
+        if not gen_img_p.exists():
+            continue
+        ood = (np.asarray(Image.open(gen_lbl_p)) == 254)
+        if not ood.any():
+            continue
+        clean = np.asarray(Image.open(
+            val_city / "leftImg8bit" / "train" / "synth"
+            / f"{stem}_leftImg8bit.png").convert("RGB")).copy()
+        gen = np.asarray(Image.open(gen_img_p).convert("RGB"))
+        clean[ood] = gen[ood]
+        Image.fromarray(clean).save(track / "images" / f"val{n}.jpg")
+        Image.fromarray(ood.astype(np.uint8)).save(
+            track / "labels_masks" / f"val{n}_labels_semantic.png")
+        n += 1
+    return track, n
+
+
 def gen_to_val_track(gen_root: Path, city: Path, track: Path, stems):
     """Reshape CG-Aug generation output into the RoadAnomaly21 val layout
     (image + binary OOD mask from the 254 pixels)."""
@@ -328,8 +405,13 @@ def main():
     track_transfer = render_transfer_val(
         work, args.n_val_transfer, h, w,
         domain_randomize=args.domain_randomize)
+    track_diffbg = render_transfer_diffbg(work, diffusion, val_city,
+                                          val_stems, h, w)
+    track_cbda, n_cbda = compose_cleanbg_diffanom_track(
+        work, val_gen_root, val_city, val_stems)
     print(f"[{time.time()-t0:.0f}s] val tracks: gen={n_gen_val} "
-          f"transfer={args.n_val_transfer}", file=sys.stderr)
+          f"transfer={args.n_val_transfer} diffbg={len(val_stems)} "
+          f"cleanbg_diffanom={n_cbda}", file=sys.stderr)
 
     # 4. control arm data ------------------------------------------------------
     clean_root = work / "clean_arm"
@@ -346,13 +428,19 @@ def main():
             r["seed"] = seed
             r["val_generation"] = eval_variables(variables, track_gen)
             r["val_transfer"] = eval_variables(variables, track_transfer)
+            r["val_transfer_diffbg"] = eval_variables(variables, track_diffbg)
+            if n_cbda:
+                r["val_cleanbg_diffanom"] = eval_variables(variables,
+                                                           track_cbda)
             results[arm].append(r)
             print(f"[{time.time()-t0:.0f}s] arm={arm} seed={seed}: "
-                  f"gen={r['val_generation']} transfer={r['val_transfer']}",
-                  file=sys.stderr)
+                  f"gen={r['val_generation']} transfer={r['val_transfer']} "
+                  f"diffbg={r['val_transfer_diffbg']} "
+                  f"cbda={r.get('val_cleanbg_diffanom')}", file=sys.stderr)
 
     def mean(arm, key):
-        return round(float(np.mean([r[key]["AUPRC"] for r in results[arm]])), 4)
+        vals = [r[key]["AUPRC"] for r in results[arm] if key in r]
+        return round(float(np.mean(vals)), 4) if vals else None
 
     out = {
         "protocol": "paired CG-Aug generated half vs clean-copy half, "
@@ -364,9 +452,15 @@ def main():
         "arms": results,
         "mean_auprc": {
             "cgaug": {"generation_val": mean("cgaug", "val_generation"),
-                      "transfer_val": mean("cgaug", "val_transfer")},
+                      "transfer_val": mean("cgaug", "val_transfer"),
+                      "transfer_diffbg": mean("cgaug", "val_transfer_diffbg"),
+                      "cleanbg_diffanom": mean("cgaug",
+                                               "val_cleanbg_diffanom")},
             "clean": {"generation_val": mean("clean", "val_generation"),
-                      "transfer_val": mean("clean", "val_transfer")},
+                      "transfer_val": mean("clean", "val_transfer"),
+                      "transfer_diffbg": mean("clean", "val_transfer_diffbg"),
+                      "cleanbg_diffanom": mean("clean",
+                                               "val_cleanbg_diffanom")},
         },
     }
     out["gap"] = {
@@ -374,6 +468,9 @@ def main():
                                 - out["mean_auprc"]["clean"]["generation_val"], 4),
         "transfer_val": round(out["mean_auprc"]["cgaug"]["transfer_val"]
                               - out["mean_auprc"]["clean"]["transfer_val"], 4),
+        "transfer_diffbg": round(
+            out["mean_auprc"]["cgaug"]["transfer_diffbg"]
+            - out["mean_auprc"]["clean"]["transfer_diffbg"], 4),
     }
     out["improved"] = bool(out["gap"]["generation_val"] > 0.05)
     out["wall_s"] = round(time.time() - t0, 1)

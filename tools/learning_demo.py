@@ -136,7 +136,21 @@ def main():
                          "parameter into the OOD model before the two-stage "
                          "fine-tune — the offline analogue of the reference's "
                          "pretrained-checkpoint premise (train_m2f.py warmup "
-                         "stage trains the OOD head on TRAINED features)")
+                         "stage trains the OOD head on TRAINED features). "
+                         "Measured negative at miniature scale "
+                         "(outputs/r5/swin_evidence.json): 40 steps of "
+                         "closed-set pretraining produce no usable features "
+                         "and the transfer costs stage-2 epochs")
+    ap.add_argument("--pretrain_ood", type=int, default=0, metavar="N",
+                    help="m2f: strongest offline construction of the "
+                         "pretrained premise — FIRST run the full two-stage "
+                         "OOD recipe N epochs (the configuration that "
+                         "demonstrably learns at this scale), then restart "
+                         "the two-stage recipe FROM that checkpoint with "
+                         "class_embed2 RE-SEEDED from class_embed (the "
+                         "reference's init, train_m2f.py:301-317): stage 1 "
+                         "(OOD head only) now trains a fresh head on TRAINED "
+                         "features, so it should move AUPRC by itself")
     ap.add_argument("--reuse", action="store_true",
                     help="skip training when the workdir already holds an "
                          "AUPRC_best checkpoint (fast qualification re-runs; "
@@ -271,8 +285,26 @@ def main():
                              "transferred_leaves": n_moved,
                              "total_leaves": n_total}
 
+        if args.pretrain_ood:
+            cfg_pre = demo_cfg("learning_demo_preood", args.pretrain_ood,
+                               max(args.pretrain_ood // 6, 1))
+            cfg_pre.model.m2f = cfg.model.m2f
+            pre_ood = TrainM2FOOD(cfg_pre, model=model)
+            pre_ood.variables["params"] = copy_class_embed_to_ood(
+                pre_ood.variables["params"])
+            pre_best = pre_ood.train()
+            raw_pre = pre_ood.ckpt.restore("AUPRC_best")
+            trainer.variables = {"params": raw_pre["params"]}
+            if raw_pre.get("batch_stats") is not None:
+                trainer.variables["batch_stats"] = raw_pre["batch_stats"]
+            pretrain_info = {"ood_pretrain_epochs": args.pretrain_ood,
+                             "ood_pretrain_best_auprc":
+                                 round(float(pre_best["AUPRC"]), 4)}
+
         # the reference initializes the OOD head by weight copy (stage 1
-        # trains class_embed2 only, so it must start from class_embed)
+        # trains class_embed2 only, so it must start from class_embed) —
+        # after an --pretrain_ood run this RE-SEEDS the trained OOD head,
+        # so stage 1 retrains it from the classifier on trained features
         trainer.variables["params"] = copy_class_embed_to_ood(
             trainer.variables["params"])
 
@@ -351,7 +383,8 @@ def main():
 
         per_image = {}  # mode -> (list of per-image scores, shared gts)
 
-        def exact_metrics(m, vs, mode_name=None, score_lowres=False):
+        def exact_metrics(m, vs, mode_name=None, score_lowres=False,
+                          score_topq=0):
             """EXACT OOD metrics of model ``m`` with variables ``vs`` on the
             held-out anomaly set (the qualification measurement). Per-image
             score arrays are retained for the paired bootstrap below."""
@@ -360,7 +393,8 @@ def main():
                 outputs = m.apply(vs, img, train=False)
                 _, anomaly = inference(outputs, img.shape[1:3],
                                        num_classes=m.num_classes,
-                                       score_lowres=score_lowres)
+                                       score_lowres=score_lowres,
+                                       score_topq=score_topq)
                 return anomaly
 
             scores, gts = [], []
@@ -424,6 +458,16 @@ def main():
                                    score_lowres=True),
             "nearest_top6c+lowres": dict(deform_sample_mode="nearest_top6c",
                                          score_lowres=True),
+            # query pruning at full resolution: only the Q largest-mass OOD
+            # queries are upsampled (bounded error = dropped non-void mass;
+            # built after lowres was refused at this scale). The harness's
+            # compact model has 24 queries, so topq prunes 24 -> Q here and
+            # 100 -> Q at production scale.
+            "bilinear+topq8": dict(score_topq=8),
+            "nearest+topq8": dict(deform_sample_mode="nearest",
+                                  score_topq=8),
+            "nearest+topq16": dict(deform_sample_mode="nearest",
+                                   score_topq=16),
         }
         E = model.transformer_enc_layers
         if E >= 2:
@@ -438,9 +482,10 @@ def main():
         def measure(name, ov):
             ov = dict(ov)
             lowres = ov.pop("score_lowres", False)
+            topq = ov.pop("score_topq", 0)
             return exact_metrics(model.clone(**ov) if ov else model,
                                  variables, mode_name=name,
-                                 score_lowres=lowres)
+                                 score_lowres=lowres, score_topq=topq)
 
         table = {name: measure(name, ov) for name, ov in modes.items()}
         ref = table["bilinear"]

@@ -39,10 +39,11 @@ PUBLISHED = {
 }
 
 # the approximate eval fast paths to (re-)measure per checkpoint (PERF.md;
-# test_runner --sample_mode / --score_lowres; a '+lowres' suffix scores the
-# anomaly branch at mask resolution — see models.maskformer.inference)
+# test_runner --sample_mode / --score_lowres / --score_topq; a '+lowres'
+# suffix scores the anomaly branch at mask resolution, '+topq{Q}' upsamples
+# only the Q largest-mass OOD queries — see models.maskformer.inference)
 QUAL_MODES = ("nearest", "shared", "int8", "nearest_top6c",
-              "nearest+lowres", "nearest_top6c+lowres")
+              "nearest+lowres", "nearest+topq32")
 
 
 def qualify_sampling_modes(cfg, weight_path, dataset_name, dataset_root,
@@ -66,7 +67,8 @@ def qualify_sampling_modes(cfg, weight_path, dataset_name, dataset_root,
         base, _, suffix = mode.partition("+")
         fwd = test_runner.build_m2f_forward(
             cfg, weight_path, sample_mode=base, enforce_qualification=False,
-            score_lowres=(suffix == "lowres"))
+            score_lowres=(suffix == "lowres"),
+            score_topq=(int(suffix[4:]) if suffix.startswith("topq") else 0))
         ev = test_runner.OODEvaluator(cfg, fwd, {dataset_name: dataset_root},
                                       tta=tta)
         got = ev.test_all((dataset_name,)).get(dataset_name)
