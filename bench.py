@@ -13,16 +13,18 @@ target is 2 x 5 = 10 img/s/chip. ``vs_baseline`` = value / 10.0 (>= 1.0 means ta
 met). Set BENCH_MODEL=deeplab for the DeepLab v3+ (WRN-38) eval benchmark instead.
 
 Headline mode: the production eval path uses APPROXIMATE nearest-corner
-deformable sampling (``--sample_mode nearest`` in the test runner) plus
-top-32 query pruning of the anomaly-score tail (``--score_topq 32``), both
+deformable sampling (``--sample_mode nearest`` in the test runner; round-5
+J-MAJOR row order, same numerics as round 4's, PERF.md round 5),
 accuracy-qualified END-TO-END on a trained checkpoint with paired-bootstrap
-CIs (outputs/r5/m2f_evidence_ci{2,3}.json; PERF.md rounds 4-5; the compact
-harness measures sub-pt deltas, the per-checkpoint release gate in
-tools/validate_release.py re-adjudicates on real weights). The metric name
-carries both modes. The exact bilinear op (toolchain-bounded at ~6.8 img/s:
-1.85 ns/index gather issue floor + XLA 4-pass roofline, PERF.md round 3) is
-reported as a DIAG line. Set BENCH_DEFORM_MODE=bilinear to make the exact op
-the headline; BENCH_SCORE_TOPQ=0 disables the query pruning.
+CIs (outputs/r5/m2f_evidence_ci{2,3}.json; the compact harness measures the
+sub-pt deltas, the per-checkpoint release gate in tools/validate_release.py
+re-adjudicates on real weights). The faster score_lowres / score_topq
+inference tails were measured (+6.7% / +4.4%) but REFUSED by that same gate
+at compact scale and are NOT in the headline — env knobs measure them. The
+metric name carries the mode. The exact bilinear op (toolchain-bounded at
+~6.8 img/s: 1.85 ns/index gather issue floor + XLA 4-pass roofline, PERF.md
+round 3) is reported as a DIAG line. Set BENCH_DEFORM_MODE=bilinear to make
+the exact op the headline.
 """
 
 import json
@@ -98,16 +100,13 @@ def bench_m2f():
     # BENCH_SCORE_LOWRES=1: score the anomaly branch at mask resolution and
     # upsample the score map (REFUSED by the compact qualification gate,
     # outputs/r5/m2f_evidence_ci2.json — kept for measurement).
-    # BENCH_SCORE_TOPQ=Q: upsample only the Q largest-mass OOD queries
-    # (bounded-error fast path; checkpoint-qualified like the sampling
-    # modes — outputs/r5/m2f_evidence_ci3.json). Default 32 = the qualified
-    # production combo (test_runner --sample_mode nearest --score_topq 32);
-    # BENCH_SCORE_TOPQ=0 measures the unpruned inference tail.
+    # BENCH_SCORE_TOPQ=Q: upsample only the Q largest-mass OOD queries —
+    # ALSO refused by the compact gate (AUPRC −1.2..−3.9 pt at matched 1/3
+    # pruning ratio, outputs/r5/m2f_evidence_ci3.json: the miniature
+    # checkpoint's query mass is not concentrated enough). Kept for
+    # measurement and for per-checkpoint re-adjudication on real weights.
     score_lowres = os.environ.get("BENCH_SCORE_LOWRES", "") == "1"
-    # topq defaults on only for the approximate headline; an exact-bilinear
-    # run (BENCH_DEFORM_MODE=bilinear, incl. the DIAG line) stays fully exact
-    score_topq = int(os.environ.get(
-        "BENCH_SCORE_TOPQ", "0" if mode_env == "bilinear" else "32"))
+    score_topq = int(os.environ.get("BENCH_SCORE_TOPQ", "0"))
 
     @jax.jit
     def fwd(variables, img):

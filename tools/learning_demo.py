@@ -469,6 +469,15 @@ def main():
             "nearest+topq16": dict(deform_sample_mode="nearest",
                                    score_topq=16),
         }
+        # MSS_QUAL_MODES=a,b,c filters the measured modes and
+        # MSS_QUAL_BOOT=N sets the bootstrap resample count (0 = skip CIs):
+        # the full 12-mode x 100-resample table takes ~45 min on a 1-core
+        # host; a targeted gate run needs minutes.
+        sel = os.environ.get("MSS_QUAL_MODES", "")
+        if sel:
+            keep = set(s.strip() for s in sel.split(",")) | {"bilinear"}
+            modes = {k: v for k, v in modes.items() if k in keep}
+        n_boot_env = int(os.environ.get("MSS_QUAL_BOOT", "100"))
         E = model.transformer_enc_layers
         if E >= 2:
             # per-layer hybrids: approximation injected LATE propagates
@@ -493,8 +502,9 @@ def main():
         def add_delta(name):
             table[name]["delta_vs_bilinear"] = {
                 k: round(table[name][k] - ref[k], 5) for k in ref}
-            if name in per_image:
-                table[name]["delta_ci95"] = bootstrap_delta_ci(name)
+            if name in per_image and n_boot_env:
+                table[name]["delta_ci95"] = bootstrap_delta_ci(
+                    name, n_boot=n_boot_env)
 
         for mode_name in [k for k in table if k != "bilinear"]:
             add_delta(mode_name)
